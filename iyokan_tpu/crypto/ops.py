@@ -1,0 +1,435 @@
+"""Batched homomorphic operations (JAX).
+
+Everything here is *batched over gates*: the unit of work is never one
+ciphertext but an array of them, because the levelized executor evaluates all
+ready gates of a circuit level in one call.  This replaces the reference's
+per-gate `TaskTFHEppGate*` tasks scheduled on a thread pool
+(reference src/iyokan_tfhepp.hpp:109-146, src/iyokan.hpp:829-883).
+
+Shapes (u32 = jnp.uint32, u64 = jnp.uint64):
+  TLWE lvl0   u32 [..., n+1]
+  TLWE lvl1   u32 [..., N+1]
+  TRLWE lvl1  u32 [..., 2, N]
+  TRGSW lvl1  u32 [..., 2l, 2, N]     row i*l+j: digit j on part i
+  TRLWE lvl2  u64 [..., 2, N2]
+
+All arithmetic is exact: torus ops are native wrap-around uint ops, and the
+negacyclic products run through the two-prime CRT NTT (crypto/ntt.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import gates
+from ..params import Params
+from . import ntt
+from .host import EvalKey
+
+u32 = jnp.uint32
+u64 = jnp.uint64
+i64 = jnp.int64
+
+
+# --------------------------------------------------------------------------- #
+# gadget decomposition
+# --------------------------------------------------------------------------- #
+
+
+def decompose1(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """Signed gadget decomposition, 32-bit torus.
+
+    x: u32 [..., 2, N]  ->  int32 [..., 2l, N], digit (i*l+j) for part i.
+    """
+    offset = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(p.l))
+    xp = x + u32(offset & 0xFFFFFFFF)
+    outs = []
+    for j in range(p.l):
+        shift = 32 - (j + 1) * p.Bgbit
+        d = ((xp >> u32(shift)) & u32(p.Bg - 1)).astype(jnp.int32) - p.Bg // 2
+        outs.append(d)
+    dig = jnp.stack(outs, axis=-3)                      # [..., l, 2, N]
+    # reorder to rows (part-major): row i*l+j
+    dig = jnp.moveaxis(dig, -3, -2)                     # [..., 2, l, N]
+    return dig.reshape(*dig.shape[:-3], 2 * p.l, dig.shape[-1])
+
+
+def decompose2(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """Signed gadget decomposition, 64-bit torus: u64 [..., 2, N2] -> int32."""
+    offset = sum((p.Bg2 // 2) << (64 - (j + 1) * p.Bgbit2) for j in range(p.l2))
+    xp = x + u64(offset & 0xFFFFFFFFFFFFFFFF)
+    outs = []
+    for j in range(p.l2):
+        shift = 64 - (j + 1) * p.Bgbit2
+        d = ((xp >> u64(shift)) & u64(p.Bg2 - 1)).astype(jnp.int32) - p.Bg2 // 2
+        outs.append(d)
+    dig = jnp.stack(outs, axis=-3)
+    dig = jnp.moveaxis(dig, -3, -2)
+    return dig.reshape(*dig.shape[:-3], 2 * p.l2, dig.shape[-1])
+
+
+# --------------------------------------------------------------------------- #
+# external product / CMUX (lvl1)
+# --------------------------------------------------------------------------- #
+
+
+def trgsw_to_ntt(trgsw: jnp.ndarray, N: int) -> jnp.ndarray:
+    """u32 TRGSW rows -> NTT residues int32 [2(primes), ..., 2l, 2, N]."""
+    res = []
+    for pi, p in enumerate(ntt.PRIMES):
+        r = trgsw.astype(i64) % p
+        res.append(ntt.ntt_fwd(r, N, pi))
+    return jnp.stack(res).astype(jnp.int32)
+
+
+def extprod_term(g_ntt: jnp.ndarray, c: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """TRGSW (x) TRLWE product term: returns decomp(c) * G as u32 [..., 2, N].
+
+    g_ntt: int32 [2, ..., 2l, 2, N] (leading batch dims broadcastable with c).
+    """
+    d = decompose1(c, p)                                # [..., 2l, N]
+    outs = []
+    for pi, prime in enumerate(ntt.PRIMES):
+        dn = ntt.ntt_fwd(d.astype(i64) % prime, p.N, pi)       # [..., 2l, N]
+        g = g_ntt[pi].astype(i64)                              # [..., 2l, 2, N]
+        prod = (dn[..., :, None, :] * g) % prime               # [..., 2l, 2, N]
+        s = prod.sum(axis=-3) % prime                          # [..., 2, N]
+        outs.append(ntt.ntt_inv(s, p.N, pi))
+    return ntt.crt_center(outs[0], outs[1]).astype(u32)
+
+
+def cmux(g_ntt: jnp.ndarray, c1: jnp.ndarray, c0: jnp.ndarray,
+         p: Params) -> jnp.ndarray:
+    """CMUX(g, c1, c0) = c0 + g (x) (c1 - c0): g ? c1 : c0.
+
+    Semantics match TFHEpp CMUXFFT as used by the reference ROM/RAM trees
+    (reference src/iyokan_tfhepp.hpp:248-271, :416-444).
+    """
+    return c0 + extprod_term(g_ntt, c1 - c0, p)
+
+
+def trgsw_invert(trgsw: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """TRGSW(1-m) from TRGSW(m): trivial gadget of 1 minus the rows.
+
+    Same trick as TFHEpp's CircuitBootstrappingFFTwithInv output pair
+    (reference src/iyokan_tfhepp.hpp:384-407 uses {normal, inverted}).
+    """
+    g = np.zeros((2 * p.l, 2, p.N), np.uint32)
+    for j in range(p.l):
+        val = np.uint32((1 << (32 - (j + 1) * p.Bgbit)) & 0xFFFFFFFF)
+        g[j, 0, 0] = val
+        g[p.l + j, 1, 0] = val
+    return jnp.asarray(g) - trgsw
+
+
+# --------------------------------------------------------------------------- #
+# polynomial rotation / sample extraction
+# --------------------------------------------------------------------------- #
+
+
+def rot_poly(poly: jnp.ndarray, r: jnp.ndarray, N: int) -> jnp.ndarray:
+    """X^r * poly mod (X^N + 1), batched.
+
+    poly: u32/u64 [..., N]; r: int32 [...] broadcastable against the leading
+    dims (one rotation amount per batch row), values in [0, 2N).
+    """
+    k = jnp.arange(N, dtype=jnp.int32)
+    idx = (k - r[..., None]) % (2 * N)                  # [..., N]
+    j = idx % N
+    neg = idx >= N
+    g = jnp.take_along_axis(poly, j.astype(jnp.int32), axis=-1)
+    return jnp.where(neg, -g, g)
+
+
+def sample_extract(trlwe: jnp.ndarray, idx: int) -> jnp.ndarray:
+    """TRLWE [..., 2, N] -> TLWE lvl1 [..., N+1] extracting coefficient idx.
+
+    a'_j = a_{idx-j} (j <= idx), -a_{N+idx-j} (j > idx); b' = b_idx.
+    (Reference counterpart: TFHEpp SampleExtractIndex used at
+    src/iyokan_tfhepp.hpp:350.)
+    """
+    N = trlwe.shape[-1]
+    a = trlwe[..., 0, :]
+    j = np.arange(N)
+    src = (idx - j) % N
+    neg = j > idx
+    a2 = jnp.where(jnp.asarray(neg), -a[..., src], a[..., src])
+    b = trlwe[..., 1, idx : idx + 1]
+    return jnp.concatenate([a2, b], axis=-1)
+
+
+# --------------------------------------------------------------------------- #
+# identity key switch lvl1 -> lvl0
+# --------------------------------------------------------------------------- #
+
+
+def _ks_digits(a: jnp.ndarray, t: int, basebit: int, width: int) -> jnp.ndarray:
+    """Signed digits of each torus coefficient, [..., t] int32."""
+    base = 1 << basebit
+    prec = t * basebit
+    if width == 32:
+        off = (1 << (32 - prec - 1)) + sum(
+            (base // 2) << (32 - (j + 1) * basebit) for j in range(t)
+        )
+        xp = a + u32(off & 0xFFFFFFFF)
+        shifts = [32 - (j + 1) * basebit for j in range(t)]
+        cast = u32
+    else:
+        off = (1 << (64 - prec - 1)) + sum(
+            (base // 2) << (64 - (j + 1) * basebit) for j in range(t)
+        )
+        xp = a + u64(off & 0xFFFFFFFFFFFFFFFF)
+        shifts = [64 - (j + 1) * basebit for j in range(t)]
+        cast = u64
+    ds = [
+        ((xp >> cast(s)) & cast(base - 1)).astype(jnp.int32) - base // 2
+        for s in shifts
+    ]
+    return jnp.stack(ds, axis=-1)
+
+
+def keyswitch_10(tlwe1: jnp.ndarray, ksk_i64: jnp.ndarray,
+                 p: Params) -> jnp.ndarray:
+    """Identity key switch lvl1 -> lvl0 as one integer matmul.
+
+    tlwe1: u32 [..., N+1]; ksk_i64: int64 [N * t, n+1] (zero-extended u32).
+    The signed-digit scalar formulation turns the reference's per-digit table
+    lookups (TFHEpp IdentityKeySwitch, used at src/iyokan_tfhepp.hpp:351)
+    into a dense [G, N*t] x [N*t, n+1] product -- the MXU-friendly shape.
+    """
+    a = tlwe1[..., : p.N]
+    b = tlwe1[..., p.N]
+    d = _ks_digits(a, p.ks_t, p.ks_basebit, 32)          # [..., N, t]
+    d = d.reshape(*d.shape[:-2], p.N * p.ks_t).astype(i64)
+    acc = d @ ksk_i64                                    # exact in int64
+    out = (-acc).astype(u32)
+    return out.at[..., p.n].add(b)
+
+
+# --------------------------------------------------------------------------- #
+# blind rotation (lvl1) and the batched gate bootstrap
+# --------------------------------------------------------------------------- #
+
+
+def _modswitch(x: jnp.ndarray, log2n: int) -> jnp.ndarray:
+    """u32 torus -> Z_{2N} with rounding."""
+    sh = 32 - log2n - 1
+    return ((x + u32(1 << (sh - 1))) >> u32(sh)).astype(jnp.int32) & (
+        (1 << (log2n + 1)) - 1
+    )
+
+
+def blind_rotate(tlwe0: jnp.ndarray, bkntt: jnp.ndarray, testv: jnp.ndarray,
+                 p: Params) -> jnp.ndarray:
+    """Batched blind rotation lvl0 -> TRLWE lvl1.
+
+    tlwe0: u32 [G, n+1]; bkntt: int32 [2, n, 2l, 2, N]; testv: u32 [N].
+    Returns u32 [G, 2, N] with phase testv * X^{-phase_2N}.
+
+    The whole gate batch advances through the n CMUX steps together: the
+    per-step TRGSW is shared (it is the bootstrapping key), only the rotation
+    amounts differ per row.  This is the TPU-native inversion of the
+    reference's one-bootstrap-per-task design.
+    """
+    G = tlwe0.shape[0]
+    abar = _modswitch(tlwe0[:, : p.n], p.logN)           # [G, n]
+    bbar = _modswitch(tlwe0[:, p.n], p.logN)             # [G]
+
+    acc_b = rot_poly(
+        jnp.broadcast_to(testv, (G, p.N)), (-bbar) % (2 * p.N), p.N
+    )
+    acc = jnp.stack([jnp.zeros((G, p.N), u32), acc_b], axis=1)  # [G, 2, N]
+
+    def body(i, acc):
+        r = abar[:, i][:, None]                          # [G, 1] per part
+        rot = rot_poly(acc, jnp.broadcast_to(r, acc.shape[:-1]), p.N)
+        diff = rot - acc
+        g = jax.lax.dynamic_index_in_dim(bkntt, i, axis=1, keepdims=False)
+        return acc + extprod_term(g, diff, p)
+
+    return jax.lax.fori_loop(0, p.n, body, acc)
+
+
+def gate_bootstrap_tlwe1(pre: jnp.ndarray, bkntt: jnp.ndarray,
+                         p: Params) -> jnp.ndarray:
+    """pre-linear-combined TLWE lvl0 batch -> TLWE lvl1 (+-mu) batch."""
+    testv = jnp.full((p.N,), u32(p.mu))
+    acc = blind_rotate(pre, bkntt, testv, p)
+    return sample_extract(acc, 0)
+
+
+# --------------------------------------------------------------------------- #
+# blind rotation lvl2 (circuit bootstrapping inner loop)
+# --------------------------------------------------------------------------- #
+
+
+def blind_rotate2(tlwe0: jnp.ndarray, bk2ntt: jnp.ndarray, testv: jnp.ndarray,
+                  p: Params) -> jnp.ndarray:
+    """Batched blind rotation lvl0 -> TRLWE lvl2 (64-bit torus).
+
+    bk2ntt: int32 [2, n, 2l2, 2, 2(halves), N2]: the 64-bit key rows are
+    NTT-transformed per 32-bit half so all products stay within int64.
+    """
+    G = tlwe0.shape[0]
+    abar = _modswitch(tlwe0[:, : p.n], p.logN2)
+    bbar = _modswitch(tlwe0[:, p.n], p.logN2)
+
+    acc_b = rot_poly(
+        jnp.broadcast_to(testv, (G, p.N2)), (-bbar) % (2 * p.N2), p.N2
+    )
+    acc = jnp.stack([jnp.zeros((G, p.N2), u64), acc_b], axis=1)
+
+    def body(i, acc):
+        r = abar[:, i][:, None]
+        rot = rot_poly(acc, jnp.broadcast_to(r, acc.shape[:-1]), p.N2)
+        diff = rot - acc
+        d = decompose2(diff, p)                          # [G, 2l2, N2] i32
+        g = jax.lax.dynamic_index_in_dim(bk2ntt, i, axis=1, keepdims=False)
+        halves = []
+        for h in range(2):
+            outs = []
+            for pi, prime in enumerate(ntt.PRIMES):
+                dn = ntt.ntt_fwd(d.astype(i64) % prime, p.N2, pi)
+                gh = g[pi, :, :, h, :].astype(i64)       # [2l2, 2, N2]
+                prod = (dn[..., :, None, :] * gh) % prime
+                s = prod.sum(axis=-3) % prime
+                outs.append(ntt.ntt_inv(s, p.N2, pi))
+            halves.append(ntt.crt_center(outs[0], outs[1]))
+        term = halves[0].astype(u64) + (halves[1].astype(u64) << u64(32))
+        return acc + term
+
+    return jax.lax.fori_loop(0, p.n, body, acc)
+
+
+def sample_extract2(trlwe2: jnp.ndarray, idx: int) -> jnp.ndarray:
+    return sample_extract(trlwe2, idx)
+
+
+# --------------------------------------------------------------------------- #
+# private functional key switch lvl2 -> lvl1, circuit bootstrapping
+# --------------------------------------------------------------------------- #
+
+
+def privks(tlwe2: jnp.ndarray, pksk_mat_i64: jnp.ndarray, part: int,
+           p: Params) -> jnp.ndarray:
+    """TLWE lvl2 (u64) -> TRLWE lvl1 (u32) under f0(x) = -s1*x (part=0) or
+    f1(x) = x (part=1).
+
+    pksk_mat_i64: int64 [N2 * t21, 2 * N] (zero-extended u32 key rows).
+    """
+    a = tlwe2[..., : p.N2]
+    b = tlwe2[..., p.N2]
+    d = _ks_digits(a, p.pks_t, p.pks_basebit, 64)        # [..., N2, t]
+    d = d.reshape(*d.shape[:-2], p.N2 * p.pks_t).astype(i64)
+    acc = d @ pksk_mat_i64                               # [..., 2N]
+    out = (-acc).astype(u32).reshape(*acc.shape[:-1], 2, p.N)
+    b32 = ((b + u64(1 << 31)) >> u64(32)).astype(u32)
+    # trivial realization of f(b): f1 -> b-part const, f0 -> a-part const
+    return out.at[..., part, 0].add(b32)
+
+
+def circuit_bootstrap(tlwe0: jnp.ndarray, bk2ntt: jnp.ndarray,
+                      pksk_mats_i64: Tuple[jnp.ndarray, jnp.ndarray],
+                      p: Params) -> jnp.ndarray:
+    """Batched circuit bootstrapping: TLWE lvl0 bits -> TRGSW lvl1.
+
+    For digit j (1-based): one lvl2 blind rotation with test vector
+    mu_j = 2^(64-j*Bgbit-1) gives TLWE2(+-mu_j); adding the trivial mu_j maps
+    it to TLWE2(m * 2^(64-j*Bgbit)); the two private key switches then embed
+    it as TRGSW rows (part 0: -s1*m*g_j, part 1: m*g_j).
+    Functional equivalent of TFHEpp CircuitBootstrappingFFT as used by the
+    reference (src/iyokan_tfhepp.hpp:194-213).
+    """
+    G = tlwe0.shape[0]
+    rows = []
+    parts = {0: [], 1: []}
+    for j in range(1, p.l + 1):
+        muj = np.uint64(1 << (64 - j * p.Bgbit - 1))
+        testv = jnp.full((p.N2,), u64(muj))
+        acc2 = blind_rotate2(tlwe0, bk2ntt, testv, p)
+        tl2 = sample_extract2(acc2, 0)
+        tl2 = tl2.at[..., p.N2].add(u64(muj))
+        for part in (0, 1):
+            parts[part].append(privks(tl2, pksk_mats_i64[part], part, p))
+    # rows: part-major (part 0 digits then part 1 digits)
+    all_rows = parts[0] + parts[1]
+    return jnp.stack(all_rows, axis=-3)                  # [G, 2l, 2, N]
+
+
+# --------------------------------------------------------------------------- #
+# device-resident keys
+# --------------------------------------------------------------------------- #
+
+
+@dataclasses.dataclass
+class DeviceKeys:
+    """Evaluation key pre-transformed for the runtime ops."""
+
+    params: Params
+    bkntt: jnp.ndarray      # int32 [2, n, 2l, 2, N]
+    ksk_mat: jnp.ndarray    # int64 [N*t, n+1]
+    bk2ntt: jnp.ndarray     # int32 [2, n, 2l2, 2, 2, N2] (or empty)
+    pksk_mats: Tuple[jnp.ndarray, jnp.ndarray]  # int64 [N2*t21, 2N] each
+
+    @staticmethod
+    def from_evalkey(ek: EvalKey, with_cb: bool = True) -> "DeviceKeys":
+        p = ek.params
+
+        @jax.jit
+        def _prep_bk(bk):
+            return trgsw_to_ntt(bk, p.N)
+
+        bkntt = jnp.moveaxis(_prep_bk(jnp.asarray(ek.bk)), 1, 1)
+        ksk_mat = (
+            jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1)).astype(i64)
+        )
+
+        if with_cb:
+            bk2 = jnp.asarray(ek.bk2)
+
+            @jax.jit
+            def _prep_bk2(bk2):
+                lo = (bk2 & u64(0xFFFFFFFF)).astype(i64)
+                hi = (bk2 >> u64(32)).astype(i64)
+                halves = jnp.stack([lo, hi], axis=-2)    # [n, 2l2, 2, 2, N2]
+                res = []
+                for pi, prime in enumerate(ntt.PRIMES):
+                    res.append(ntt.ntt_fwd(halves % prime, p.N2, pi))
+                return jnp.stack(res).astype(jnp.int32)
+
+            bk2ntt = _prep_bk2(bk2)
+            pk = ek.pksk  # u32 [2, N2, t, 2, N]
+            mats = tuple(
+                jnp.asarray(pk[i].reshape(p.N2 * p.pks_t, 2 * p.N)).astype(i64)
+                for i in (0, 1)
+            )
+        else:
+            bk2ntt = jnp.zeros((2, 0, 2 * p.l2, 2, 2, p.N2), jnp.int32)
+            mats = (
+                jnp.zeros((p.N2 * p.pks_t, 2 * p.N), i64),
+                jnp.zeros((p.N2 * p.pks_t, 2 * p.N), i64),
+            )
+        return DeviceKeys(p, bkntt, ksk_mat, bk2ntt, mats)
+
+
+# --------------------------------------------------------------------------- #
+# batched homomorphic gates
+# --------------------------------------------------------------------------- #
+
+
+def gate_linear(A: jnp.ndarray, B: jnp.ndarray, ca: jnp.ndarray,
+                cb: jnp.ndarray, kmu: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """pre = ca*A + cb*B + k*mu per row; coefficients int32 [G]."""
+    pre = A * ca[:, None].astype(u32) + B * cb[:, None].astype(u32)
+    return pre.at[:, p.n].add((kmu * p.mu).astype(u32))
+
+
+def hom_not(c: jnp.ndarray) -> jnp.ndarray:
+    """NOT: torus negation, no bootstrap (reference HomNOT)."""
+    return (-c.astype(jnp.int64)).astype(u32) if c.dtype != u32 else (u32(0) - c)
