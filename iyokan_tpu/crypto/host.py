@@ -289,10 +289,10 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None) -> EvalKey:
 
     # --- identity key switch lvl1 -> lvl0 (signed-digit scalar rows) --------
     # row (z, j) = TLWE_s0( s1_z * 2^(32-(j+1)*basebit) )
-    msgs = (
-        sk.s1.astype(np.uint64)[:, None]
-        << (32 - (np.arange(1, p.ks_t + 1) * p.ks_basebit))[None, :]
-    ).astype(np.uint32)
+    ks_shifts = (32 - np.arange(1, p.ks_t + 1) * p.ks_basebit).astype(np.uint64)
+    msgs = (sk.s1.astype(np.uint64)[:, None] << ks_shifts[None, :]).astype(
+        np.uint32
+    )
     ksk = tlwe0_encrypt(sk, msgs, rng)
 
     # --- private functional key switch lvl2 -> lvl1 -------------------------
