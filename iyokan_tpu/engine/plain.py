@@ -1,0 +1,168 @@
+"""Plain-bit levelized executor.
+
+The functional-reference backend: identical circuit semantics to the TFHE
+engine, computed on raw bits (the role of the reference's plain backend,
+src/iyokan_plain.hpp).  State is a single uint8 value array indexed by node
+id plus one store per built-in CMUX memory; each cycle is a jitted sweep over
+the precompiled levels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.compile import Compiled
+
+State = Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]  # (vals, ram stores)
+
+
+def _pack_addr(vals: jnp.ndarray, addr_nodes) -> jnp.ndarray:
+    bits = vals[np.asarray(addr_nodes, np.int32)]
+    weights = jnp.asarray(
+        (1 << np.arange(len(addr_nodes))).astype(np.int32)
+    )
+    return jnp.sum(bits.astype(jnp.int32) * weights)
+
+
+class PlainEngine:
+    def __init__(self, compiled: Compiled):
+        self.c = compiled
+        self.d = compiled.design
+        self._settle = jax.jit(self._settle_impl)
+        self._tick = jax.jit(self._tick_impl)
+
+    # ------------------------------------------------------------------ #
+    def init_vals(self) -> jnp.ndarray:
+        vals = jnp.zeros(self.c.num_nodes, jnp.uint8)
+        if len(self.c.const_nodes):
+            vals = vals.at[self.c.const_nodes].set(
+                self.c.const_vals.astype(np.uint8)
+            )
+        return vals
+
+    def set_nodes(self, vals, nodes, bits) -> jnp.ndarray:
+        idx = np.asarray(nodes, np.int32)
+        return vals.at[idx].set(
+            jnp.asarray(np.asarray(bits).astype(np.uint8))
+        )
+
+    # plain engine: "constant bits" and external values are the same thing
+    set_const_bits = set_nodes
+
+    def read_nodes(self, vals, nodes) -> np.ndarray:
+        arr = np.asarray(vals)
+        out = np.zeros(len(nodes), np.uint8)
+        for i, node in enumerate(nodes):
+            if node is not None:
+                out[i] = arr[node]
+        return out
+
+    def make_rom_store(self, name, addr_width, data_width, data):
+        shape = (1 << addr_width, data_width)
+        if data is None:
+            return jnp.zeros(shape, jnp.uint8)
+        data = np.asarray(data, np.uint8)
+        if data.size != shape[0] * shape[1]:
+            raise ValueError("invalid request packet: wrong length of ROM")
+        return jnp.asarray(data.reshape(shape))
+
+    def make_ram_store(self, name, addr_width, data_width, data):
+        shape = (1 << addr_width, data_width)
+        if data is None:
+            return jnp.zeros(shape, jnp.uint8)
+        data = np.asarray(data, np.uint8)
+        if data.size != shape[0] * shape[1]:
+            raise ValueError("invalid request packet: wrong length of RAM")
+        return jnp.asarray(data.reshape(shape))
+
+    def read_ram_store(self, store) -> np.ndarray:
+        return np.asarray(store).reshape(-1)
+
+    def block_until_ready(self, vals):
+        vals.block_until_ready()
+
+    def _tick_impl(self, vals: jnp.ndarray) -> jnp.ndarray:
+        """All DFFs latch input -> output simultaneously
+        (reference TaskDFF::tick, src/iyokan.hpp:1395-1402)."""
+        if len(self.c.tick_dst) == 0:
+            return vals
+        return vals.at[self.c.tick_dst].set(vals[self.c.tick_src])
+
+    def tick(self, vals):
+        return self._tick(vals)
+
+    # ------------------------------------------------------------------ #
+    def _settle_impl(self, vals, rams, roms):
+        one = jnp.uint8(1)
+        for plan in self.c.levels:
+            outs = []
+            ids = []
+            if len(plan.bin_out):
+                a = vals[plan.bin_a]
+                b = vals[plan.bin_b]
+                stack = jnp.stack(
+                    [
+                        a & b, one - (a & b), a & (one - b), a | b,
+                        one - (a | b), a | (one - b), a ^ b, one - (a ^ b),
+                    ],
+                    axis=0,
+                )
+                res = jnp.take_along_axis(
+                    stack, plan.bin_kind[None, :].astype(jnp.int32), axis=0
+                )[0]
+                outs.append(res)
+                ids.append(plan.bin_out)
+            if len(plan.mux_out):
+                a = vals[plan.mux_a]
+                b = vals[plan.mux_b]
+                s = vals[plan.mux_s]
+                outs.append(jnp.where(s == 0, a, b))
+                ids.append(plan.mux_out)
+            if len(plan.not_out):
+                outs.append(one - vals[plan.not_src])
+                ids.append(plan.not_out)
+            if len(plan.copy_out):
+                outs.append(vals[plan.copy_src])
+                ids.append(plan.copy_out)
+            for name in plan.rom_reads:
+                inst = self.d.rom_insts[name]
+                addr = _pack_addr(vals, inst.addr_nodes)
+                word = jax.lax.dynamic_index_in_dim(
+                    roms[name], addr, keepdims=False
+                )
+                outs.append(word)
+                ids.append(np.asarray(inst.read_nodes, np.int32))
+            for name in plan.ram_reads:
+                inst = self.d.ram_insts[name]
+                addr = _pack_addr(vals, inst.addr_nodes)
+                word = jax.lax.dynamic_index_in_dim(
+                    rams[name], addr, keepdims=False
+                )
+                outs.append(word)
+                ids.append(np.asarray(inst.read_nodes, np.int32))
+            if outs:
+                vals = vals.at[np.concatenate(ids)].set(
+                    jnp.concatenate(outs)
+                )
+
+        # end-of-settle RAM writes (read-before-write by construction)
+        new_rams = {}
+        for name, inst in self.d.ram_insts.items():
+            ram = rams[name]
+            addr = _pack_addr(vals, inst.addr_nodes)
+            wren = vals[inst.wren_node]
+            wdata = vals[np.asarray(inst.wdata_nodes, np.int32)]
+            cur = jax.lax.dynamic_index_in_dim(ram, addr, keepdims=False)
+            new_word = jnp.where(wren != 0, wdata, cur)
+            new_rams[name] = jax.lax.dynamic_update_index_in_dim(
+                ram, new_word, addr, axis=0
+            )
+        return vals, new_rams
+
+    def settle(self, vals, rams, roms):
+        return self._settle(vals, rams, roms)

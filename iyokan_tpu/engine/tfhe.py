@@ -1,0 +1,292 @@
+"""TFHE levelized executor.
+
+Encrypted counterpart of engine.plain: node values are TLWE lvl0 samples
+(u32 [num_nodes, n+1]), and each level becomes
+
+  gather -> linear combine -> ONE batched blind rotation over all 2-input
+  gates and both MUX half-gates -> sample extract -> (MUX pair combine at
+  lvl1) -> one batched key switch -> scatter,
+
+replacing the reference's per-gate TFHEpp tasks on a thread pool
+(reference src/iyokan_tfhepp.hpp:109-146).  NOT gates are free torus
+negations; copies are gathers.
+
+Built-in CMUX memories follow the reference dataflow exactly
+(reference src/iyokan_tfhepp.hpp:675-889):
+  ROM read:  CB addr bits -> inter-word CMUX tree (inverted TRGSW) ->
+             intra-word rotate ladder -> per-bit sample extract -> KS.
+  RAM read:  CB addr bits -> CMUX tree over 2^a words per bit -> SEI(0) -> KS.
+  RAM write: MUXwoSE(wren ? wdata : rdata) -> per-address CMUX chain ->
+             SEI(0)+KS -> batched gate-bootstrap refresh of all words.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import gates as G
+from ..circuit.compile import Compiled
+from ..crypto import host, ops
+from ..crypto.ops import u32
+
+I32 = jnp.int32
+
+
+class TFHEEngine:
+    def __init__(self, compiled: Compiled, eval_key: host.EvalKey):
+        self.c = compiled
+        self.d = compiled.design
+        self.p = eval_key.params
+        needs_cb = bool(self.d.rom_insts or self.d.ram_insts)
+        self.keys = ops.DeviceKeys.from_evalkey(eval_key, with_cb=needs_cb)
+        self._settle = jax.jit(self._settle_impl)
+        self._tick = jax.jit(self._tick_impl)
+        # per-level constant tables for the linear pre-combination
+        self._lin_tables = []
+        for plan in compiled.levels:
+            ca = np.array([G.GATE_LIN[k][0] for k in plan.bin_kind], np.int32)
+            cb = np.array([G.GATE_LIN[k][1] for k in plan.bin_kind], np.int32)
+            kk = np.array([G.GATE_LIN[k][2] for k in plan.bin_kind], np.int32)
+            self._lin_tables.append((ca, cb, kk))
+
+    # ------------------------------------------------------------------ #
+    # state constructors / accessors
+    # ------------------------------------------------------------------ #
+    def init_vals(self) -> jnp.ndarray:
+        p = self.p
+        vals = jnp.zeros((self.c.num_nodes, p.n + 1), u32)
+        # everything starts as trivial 0 (reference DFF/const init,
+        # src/iyokan_tfhepp.hpp:18-58); constants get their trivial value
+        neg_mu = u32(0) - u32(p.mu)
+        vals = vals.at[:, p.n].set(neg_mu)
+        if len(self.c.const_nodes):
+            cv = np.where(
+                self.c.const_vals.astype(bool), np.uint32(p.mu),
+                np.uint32(0) - np.uint32(p.mu),
+            )
+            vals = vals.at[self.c.const_nodes, p.n].set(jnp.asarray(cv))
+        return vals
+
+    def set_nodes(self, vals, nodes, cts) -> jnp.ndarray:
+        """Scatter externally supplied ciphertexts into node slots."""
+        idx = np.asarray(nodes, np.int32)
+        return vals.at[idx].set(jnp.asarray(np.asarray(cts, np.uint32)))
+
+    def set_const_bits(self, vals, nodes, bits) -> jnp.ndarray:
+        ct = host.trivial_tlwe0(self.p, np.asarray(bits, np.uint8))
+        return self.set_nodes(vals, nodes, ct)
+
+    def read_nodes(self, vals, nodes) -> np.ndarray:
+        arr = np.asarray(vals)
+        out = np.zeros((len(nodes), self.p.n + 1), np.uint32)
+        triv0 = host.trivial_tlwe0(self.p, np.zeros(1, np.uint8))[0]
+        for i, node in enumerate(nodes):
+            out[i] = triv0 if node is None else arr[node]
+        return out
+
+    def make_rom_store(self, name, addr_width, data_width, data):
+        inst = self.d.rom_insts[name]
+        p = self.p
+        assert data_width & (data_width - 1) == 0, (
+            "CMUX ROM data width must be a power of two"
+        )
+        total_bits = (1 << addr_width) * data_width
+        n_tr = max(1, -(-total_bits // p.N))
+        if data is None:
+            store = np.zeros((n_tr, 2, p.N), np.uint32)
+            store[:, 1, :] = np.uint32(0) - np.uint32(p.mu)  # all bits 0
+        else:
+            store = np.asarray(data, np.uint32)
+            if store.shape[0] != n_tr:
+                raise ValueError("invalid request packet: wrong length of ROM")
+        return jnp.asarray(store)
+
+    def make_ram_store(self, name, addr_width, data_width, data):
+        p = self.p
+        if data is None:
+            store = np.zeros(((1 << addr_width), data_width, 2, p.N),
+                             np.uint32)
+            store[..., 1, 0] = np.uint32(0) - np.uint32(p.mu)
+        else:
+            data = np.asarray(data, np.uint32)
+            if data.shape[0] != (1 << addr_width) * data_width:
+                raise ValueError("invalid request packet: wrong length of RAM")
+            store = data.reshape((1 << addr_width), data_width, 2, p.N)
+        return jnp.asarray(store)
+
+    def read_ram_store(self, store) -> np.ndarray:
+        a, w = store.shape[0], store.shape[1]
+        return np.asarray(store).reshape(a * w, 2, store.shape[-1])
+
+    def block_until_ready(self, vals):
+        vals.block_until_ready()
+
+    # ------------------------------------------------------------------ #
+    def _tick_impl(self, vals):
+        if len(self.c.tick_dst) == 0:
+            return vals
+        return vals.at[self.c.tick_dst].set(vals[self.c.tick_src])
+
+    def tick(self, vals):
+        return self._tick(vals)
+
+    # ------------------------------------------------------------------ #
+    # the per-cycle combinational sweep
+    # ------------------------------------------------------------------ #
+    def _bootstrap_level(self, vals, plan, tables):
+        """One fused batch: all 2-input gates + MUX halves of a level."""
+        p = self.p
+        mu = u32(p.mu)
+        nbin = len(plan.bin_out)
+        nmux = len(plan.mux_out)
+        pres = []
+        if nbin:
+            A = vals[plan.bin_a]
+            B = vals[plan.bin_b]
+            ca, cb, kk = tables
+            pres.append(ops.gate_linear(A, B, jnp.asarray(ca),
+                                        jnp.asarray(cb), jnp.asarray(kk), p))
+        if nmux:
+            Av = vals[plan.mux_a]
+            Bv = vals[plan.mux_b]
+            S = vals[plan.mux_s]
+            pre1 = (S + Bv).at[:, p.n].add(u32(0) - mu)   # AND(s, b)
+            pre2 = (Av - S).at[:, p.n].add(u32(0) - mu)   # AND(~s, a)
+            pres.extend([pre1, pre2])
+        if not pres:
+            return vals
+        batch = jnp.concatenate(pres, axis=0)
+        t1 = ops.gate_bootstrap_tlwe1(batch, self.keys.bkntt, p)
+        rows = []
+        if nbin:
+            rows.append(t1[:nbin])
+        if nmux:
+            comb = t1[nbin : nbin + nmux] + t1[nbin + nmux :]
+            comb = comb.at[:, p.N].add(mu)
+            rows.append(comb)
+        lvl1 = jnp.concatenate(rows, axis=0)
+        out = ops.keyswitch_10(lvl1, self.keys.ksk_mat, p)
+        ids = np.concatenate([plan.bin_out, plan.mux_out])
+        return vals.at[ids].set(out)
+
+    def _cb_pairs(self, vals, addr_nodes):
+        """CBWithInv of address wires -> NTT'd TRGSW selectors.
+
+        Returns int32 [2(primes), a, 2(normal/inv), 2l, 2, N].
+        """
+        p = self.p
+        tl = vals[np.asarray(addr_nodes, np.int32)]
+        trgsw = ops.circuit_bootstrap(tl, self.keys.bk2ntt,
+                                      self.keys.pksk_mats, p)
+        inv = ops.trgsw_invert(trgsw, p)
+        both = jnp.stack([trgsw, inv], axis=1)       # [a, 2, 2l, 2, N]
+        return ops.trgsw_to_ntt(both, p.N)
+
+    def _rom_read(self, vals, roms, name):
+        """Reference TaskTFHEppROMUX: UROMUX inter-word CMUX tree then LROMUX
+        intra-word rotate ladder (src/iyokan_tfhepp.hpp:238-338)."""
+        p = self.p
+        inst = self.d.rom_insts[name]
+        a, w = inst.addr_width, inst.data_width
+        gn = self._cb_pairs(vals, inst.addr_nodes)
+        log2w = w.bit_length() - 1
+        log2wpt = p.logN - log2w                     # words per TRLWE
+        n_inter = max(0, a - log2wpt)
+
+        words = roms[name]                           # [2^n_inter, 2, N]
+        for b in range(n_inter):
+            g = gn[:, log2wpt + b, 1]                # inverted: bit==0 -> even
+            words = ops.cmux(g, words[0::2], words[1::2], p)
+        acc = words[0]                               # [2, N]
+
+        for bit in range(1, log2wpt + 1):
+            if log2wpt - bit >= a:
+                continue
+            shift = (2 * p.N) - (p.N >> bit)
+            g = gn[:, log2wpt - bit, 0]              # normal
+            rot = ops.rot_poly(acc, jnp.full((2,), shift, I32), p.N)
+            acc = acc + ops.extprod_term(g, rot - acc, p)
+
+        lvl1 = jnp.stack([ops.sample_extract(acc, b) for b in range(w)])
+        out = ops.keyswitch_10(lvl1, self.keys.ksk_mat, p)
+        return vals.at[np.asarray(inst.read_nodes, np.int32)].set(out), None
+
+    def _ram_read(self, vals, rams, name):
+        """Reference TaskTFHEppRAMUX (src/iyokan_tfhepp.hpp:409-498):
+        CMUX tree over 2^a words per data bit, inverted selectors."""
+        p = self.p
+        inst = self.d.ram_insts[name]
+        gn = self._cb_pairs(vals, inst.addr_nodes)
+        words = rams[name]                           # [2^a, w, 2, N]
+        for b in range(inst.addr_width):
+            g = gn[:, b, 1]                          # inverted
+            words = ops.cmux(g, words[0::2], words[1::2], p)
+        acc = words[0]                               # [w, 2, N]
+        lvl1 = ops.sample_extract(acc, 0)            # [w, N+1]
+        out = ops.keyswitch_10(lvl1, self.keys.ksk_mat, p)
+        vals = vals.at[np.asarray(inst.read_nodes, np.int32)].set(out)
+        return vals, gn
+
+    def _ram_write(self, vals, store, name, gn):
+        """Reference write path (src/iyokan_tfhepp.hpp:500-673): MUXwoSE ->
+        per-address CMUX chains -> SEI+KS -> batched bootstrap refresh."""
+        p = self.p
+        inst = self.d.ram_insts[name]
+        a, w = inst.addr_width, inst.data_width
+        mu = u32(p.mu)
+
+        wren = vals[inst.wren_node]                  # [n+1]
+        wdata = vals[np.asarray(inst.wdata_nodes, np.int32)]
+        rdata = vals[np.asarray(inst.rdata_out_nodes, np.int32)]
+
+        # MUXwoSE: written = wren ? wdata : rdata, output stays TRLWE lvl1
+        pre1 = (wren[None, :] + wdata).at[:, p.n].add(u32(0) - mu)
+        pre2 = (rdata - wren[None, :]).at[:, p.n].add(u32(0) - mu)
+        testv = jnp.full((p.N,), mu)
+        tr = ops.blind_rotate(jnp.concatenate([pre1, pre2]), self.keys.bkntt,
+                              testv, p)
+        written = tr[:w] + tr[w:]
+        written = written.at[:, 1, 0].add(mu)        # [w, 2, N]
+
+        # per-address chains, batched over (2^a, w)
+        addrs = np.arange(1 << a)
+        acc = jnp.broadcast_to(written[None], (1 << a, w, 2, p.N))
+        for j in range(a):
+            sel = ((addrs >> j) & 1).astype(np.int32)     # 1 -> normal(0)
+            pol = np.where(sel == 1, 0, 1)
+            g = gn[:, j, :][:, pol]                  # [2, 2^a, 2l, 2, N]
+            g = g[:, :, None]                        # broadcast over w
+            acc = ops.cmux(g, acc, store, p)
+
+        lvl1 = ops.sample_extract(acc, 0)            # [2^a, w, N+1]
+        flat = lvl1.reshape((1 << a) * w, p.N + 1)
+        tlwe0 = ops.keyswitch_10(flat, self.keys.ksk_mat, p)
+        fresh = ops.blind_rotate(tlwe0, self.keys.bkntt, testv, p)
+        return fresh.reshape(1 << a, w, 2, p.N)
+
+    # ------------------------------------------------------------------ #
+    def _settle_impl(self, vals, rams, roms):
+        ram_sel: Dict[str, jnp.ndarray] = {}
+        for plan, tables in zip(self.c.levels, self._lin_tables):
+            vals = self._bootstrap_level(vals, plan, tables)
+            if len(plan.not_out):
+                vals = vals.at[plan.not_out].set(u32(0) - vals[plan.not_src])
+            if len(plan.copy_out):
+                vals = vals.at[plan.copy_out].set(vals[plan.copy_src])
+            for name in plan.rom_reads:
+                vals, _ = self._rom_read(vals, roms, name)
+            for name in plan.ram_reads:
+                vals, gn = self._ram_read(vals, rams, name)
+                ram_sel[name] = gn
+
+        new_rams = {}
+        for name, store in rams.items():
+            new_rams[name] = self._ram_write(vals, store, name, ram_sel[name])
+        return vals, new_rams
+
+    def settle(self, vals, rams, roms):
+        return self._settle(vals, rams, roms)
