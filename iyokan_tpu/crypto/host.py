@@ -90,10 +90,11 @@ class SecretKey:
     s2: np.ndarray  # uint8 [N2]  lvl2 ring key (binary)
 
     def save(self, path: str) -> None:
-        np.savez_compressed(
-            path, kind="secret-key", params=self.params.name,
-            s0=self.s0, s1=self.s1, s2=self.s2,
-        )
+        with open(path, "wb") as f:
+            np.savez_compressed(
+                f, kind="secret-key", params=self.params.name,
+                s0=self.s0, s1=self.s1, s2=self.s2,
+            )
 
     @staticmethod
     def load(path: str) -> "SecretKey":
@@ -124,10 +125,11 @@ class EvalKey:
     pksk: np.ndarray
 
     def save(self, path: str) -> None:
-        np.savez(
-            path, kind="eval-key", params=self.params.name,
-            bk=self.bk, bk2=self.bk2, ksk=self.ksk, pksk=self.pksk,
-        )
+        with open(path, "wb") as f:
+            np.savez(
+                f, kind="eval-key", params=self.params.name,
+                bk=self.bk, bk2=self.bk2, ksk=self.ksk, pksk=self.pksk,
+            )
 
     @staticmethod
     def load(path: str) -> "EvalKey":

@@ -49,7 +49,7 @@ def bytes_from_bits(bits: np.ndarray) -> list:
     src/iyokan-packet.cpp:108-121)."""
     out = []
     byte = 0
-    for i, bit in enumerate(np.asarray(bits).astype(int)):
+    for i, bit in enumerate(np.asarray(bits).astype(int).tolist()):
         byte |= (bit & 1) << (i % 8)
         if i % 8 == 7:
             out.append(byte)
@@ -75,7 +75,8 @@ class PlainPacket:
                        ("bits", self.bits)):
             for name, v in d.items():
                 data[f"{pfx}/{name}"] = np.asarray(v, np.uint8)
-        np.savez_compressed(path, **data)
+        with open(path, "wb") as f:
+            np.savez_compressed(f, **data)
 
     @staticmethod
     def load(path: str) -> "PlainPacket":
@@ -157,7 +158,8 @@ class TFHEPacket:
         for pfx in self._FIELDS:
             for name, v in getattr(self, pfx).items():
                 data[f"{pfx}/{name}"] = v
-        np.savez(path, **data)
+        with open(path, "wb") as f:
+            np.savez(f, **data)
 
     @staticmethod
     def load(path: str) -> "TFHEPacket":
