@@ -268,8 +268,14 @@ def trgsw2_encrypt(sk: SecretKey, m: int, rng) -> np.ndarray:
     return rows
 
 
-def genevalkey(sk: SecretKey, seed: Optional[int] = None) -> EvalKey:
-    """Assemble the evaluation key (cf. reference src/iyokan-packet.cpp:150-160)."""
+def genevalkey(sk: SecretKey, seed: Optional[int] = None,
+               with_cb: bool = True) -> EvalKey:
+    """Assemble the evaluation key (cf. reference src/iyokan-packet.cpp:150-160).
+
+    with_cb=False skips the circuit-bootstrapping material (bk2 / pksk),
+    which is only needed for blueprints with CMUX memories
+    (reference needsCircuitKey, src/iyokan.hpp:1897-1906).
+    """
     p = sk.params
     rng = np.random.default_rng(seed)
 
@@ -282,12 +288,17 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None) -> EvalKey:
     bk = zeros
 
     # --- circuit bootstrapping key: TRGSW_lvl2(s0_i) ------------------------
-    z2 = trlwe2_encrypt(sk, np.zeros((p.n, 2 * p.l2, p.N2), np.uint64), p.alpha2, rng)
-    for j in range(p.l2):
-        g = (sk.s0.astype(np.uint64) << np.uint64(64 - (j + 1) * p.Bgbit2))
-        z2[:, j, 0, 0] += g
-        z2[:, p.l2 + j, 1, 0] += g
-    bk2 = z2
+    if with_cb:
+        z2 = trlwe2_encrypt(
+            sk, np.zeros((p.n, 2 * p.l2, p.N2), np.uint64), p.alpha2, rng
+        )
+        for j in range(p.l2):
+            g = sk.s0.astype(np.uint64) << np.uint64(64 - (j + 1) * p.Bgbit2)
+            z2[:, j, 0, 0] += g
+            z2[:, p.l2 + j, 1, 0] += g
+        bk2 = z2
+    else:
+        bk2 = np.zeros((0, 2 * p.l2, 2, p.N2), np.uint64)
 
     # --- identity key switch lvl1 -> lvl0 (signed-digit scalar rows) --------
     # row (z, j) = TLWE_s0( s1_z * 2^(32-(j+1)*basebit) )
@@ -300,15 +311,22 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None) -> EvalKey:
     # --- private functional key switch lvl2 -> lvl1 -------------------------
     # f1(x) = x            : row (z, j) = TRLWE_s1( s2_z * 2^(32-(j+1)*bb) )
     # f0(x) = -s1(X) * x   : row (z, j) = TRLWE_s1( -s1 * s2_z * 2^(32-(j+1)*bb) )
-    shifts = (32 - np.arange(1, p.pks_t + 1) * p.pks_basebit).astype(np.uint64)
-    scal = (sk.s2.astype(np.uint64)[:, None] << shifts[None, :]).astype(np.uint32)
-    msg1 = np.zeros((p.N2, p.pks_t, p.N), np.uint32)
-    msg1[..., 0] = scal
-    neg_s1 = (np.uint32(0) - sk.s1.astype(np.uint32)).astype(np.uint32)
-    msg0 = scal[..., None].astype(np.uint32) * neg_s1[None, None, :]
-    pksk0 = trlwe1_encrypt(sk, msg0, p.alpha_pks, rng)
-    pksk1 = trlwe1_encrypt(sk, msg1, p.alpha_pks, rng)
-    pksk = np.stack([pksk0, pksk1], axis=0)
+    if with_cb:
+        shifts = (32 - np.arange(1, p.pks_t + 1) * p.pks_basebit).astype(
+            np.uint64
+        )
+        scal = (sk.s2.astype(np.uint64)[:, None] << shifts[None, :]).astype(
+            np.uint32
+        )
+        msg1 = np.zeros((p.N2, p.pks_t, p.N), np.uint32)
+        msg1[..., 0] = scal
+        neg_s1 = (np.uint32(0) - sk.s1.astype(np.uint32)).astype(np.uint32)
+        msg0 = scal[..., None].astype(np.uint32) * neg_s1[None, None, :]
+        pksk0 = trlwe1_encrypt(sk, msg0, p.alpha_pks, rng)
+        pksk1 = trlwe1_encrypt(sk, msg1, p.alpha_pks, rng)
+        pksk = np.stack([pksk0, pksk1], axis=0)
+    else:
+        pksk = np.zeros((2, 0, p.pks_t, 2, p.N), np.uint32)
 
     return EvalKey(p, bk.astype(np.uint32), bk2.astype(np.uint64),
                    ksk.astype(np.uint32), pksk.astype(np.uint32))

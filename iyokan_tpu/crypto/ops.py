@@ -29,7 +29,7 @@ import numpy as np
 
 from .. import gates
 from ..params import Params
-from . import ntt
+from . import ntt, polymul
 from .host import EvalKey
 
 u32 = jnp.uint32
@@ -79,39 +79,31 @@ def decompose2(x: jnp.ndarray, p: Params) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 
 
-def trgsw_to_ntt(trgsw: jnp.ndarray, N: int) -> jnp.ndarray:
-    """u32 TRGSW rows -> NTT residues int32 [2(primes), ..., 2l, 2, N]."""
-    res = []
-    for pi, p in enumerate(ntt.PRIMES):
-        r = trgsw.astype(i64) % p
-        res.append(ntt.ntt_fwd(r, N, pi))
-    return jnp.stack(res).astype(jnp.int32)
+def prep_trgsw(trgsw: jnp.ndarray, p: Params,
+               backend=None) -> jnp.ndarray:
+    """u32 TRGSW rows [..., 2l, 2, N] -> backend-prepared transform."""
+    be = backend or polymul.get_backend()
+    return be.prep1(trgsw, p)
 
 
-def extprod_term(g_ntt: jnp.ndarray, c: jnp.ndarray, p: Params) -> jnp.ndarray:
+def extprod_term(g_prep: jnp.ndarray, c: jnp.ndarray, p: Params,
+                 backend=None) -> jnp.ndarray:
     """TRGSW (x) TRLWE product term: returns decomp(c) * G as u32 [..., 2, N].
 
-    g_ntt: int32 [2, ..., 2l, 2, N] (leading batch dims broadcastable with c).
+    g_prep: backend-prepared rows (leading dims broadcastable with c).
     """
-    d = decompose1(c, p)                                # [..., 2l, N]
-    outs = []
-    for pi, prime in enumerate(ntt.PRIMES):
-        dn = ntt.ntt_fwd(d.astype(i64) % prime, p.N, pi)       # [..., 2l, N]
-        g = g_ntt[pi].astype(i64)                              # [..., 2l, 2, N]
-        prod = (dn[..., :, None, :] * g) % prime               # [..., 2l, 2, N]
-        s = prod.sum(axis=-3) % prime                          # [..., 2, N]
-        outs.append(ntt.ntt_inv(s, p.N, pi))
-    return ntt.crt_center(outs[0], outs[1]).astype(u32)
+    be = backend or polymul.get_backend()
+    return be.extprod1(decompose1(c, p), g_prep, p)
 
 
-def cmux(g_ntt: jnp.ndarray, c1: jnp.ndarray, c0: jnp.ndarray,
-         p: Params) -> jnp.ndarray:
+def cmux(g_prep: jnp.ndarray, c1: jnp.ndarray, c0: jnp.ndarray,
+         p: Params, backend=None) -> jnp.ndarray:
     """CMUX(g, c1, c0) = c0 + g (x) (c1 - c0): g ? c1 : c0.
 
     Semantics match TFHEpp CMUXFFT as used by the reference ROM/RAM trees
     (reference src/iyokan_tfhepp.hpp:248-271, :416-444).
     """
-    return c0 + extprod_term(g_ntt, c1 - c0, p)
+    return c0 + extprod_term(g_prep, c1 - c0, p, backend)
 
 
 def trgsw_invert(trgsw: jnp.ndarray, p: Params) -> jnp.ndarray:
@@ -133,18 +125,33 @@ def trgsw_invert(trgsw: jnp.ndarray, p: Params) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 
 
+def _nega_roll(poly: jnp.ndarray, s: int, N: int) -> jnp.ndarray:
+    """X^s * poly for a static s in [1, N]: wrap-around goes in negated."""
+    if s == 0:
+        return poly
+    lo = jnp.zeros((), poly.dtype) - poly[..., N - s :]
+    return jnp.concatenate([lo, poly[..., : N - s]], axis=-1)
+
+
 def rot_poly(poly: jnp.ndarray, r: jnp.ndarray, N: int) -> jnp.ndarray:
-    """X^r * poly mod (X^N + 1), batched.
+    """X^r * poly mod (X^N + 1), batched: barrel shifter.
 
     poly: u32/u64 [..., N]; r: int32 [...] broadcastable against the leading
     dims (one rotation amount per batch row), values in [0, 2N).
+
+    log2(2N) conditional static rolls instead of a per-element gather:
+    TPU gathers along the minor axis serialize, while static rolls are
+    concats and the selects are plain vector ops.
     """
-    k = jnp.arange(N, dtype=jnp.int32)
-    idx = (k - r[..., None]) % (2 * N)                  # [..., N]
-    j = idx % N
-    neg = idx >= N
-    g = jnp.take_along_axis(poly, j.astype(jnp.int32), axis=-1)
-    return jnp.where(neg, -g, g)
+    x = poly
+    nbits = (2 * N - 1).bit_length()
+    for b in range(nbits):
+        rolled = _nega_roll(x, 1 << b, N) if (1 << b) <= N else (
+            jnp.zeros((), x.dtype) - x
+        )
+        bit = ((r >> b) & 1).astype(bool)[..., None]
+        x = jnp.where(bit, rolled, x)
+    return x
 
 
 def sample_extract(trlwe: jnp.ndarray, idx: int) -> jnp.ndarray:
@@ -194,21 +201,45 @@ def _ks_digits(a: jnp.ndarray, t: int, basebit: int, width: int) -> jnp.ndarray:
     return jnp.stack(ds, axis=-1)
 
 
-def keyswitch_10(tlwe1: jnp.ndarray, ksk_i64: jnp.ndarray,
-                 p: Params) -> jnp.ndarray:
-    """Identity key switch lvl1 -> lvl0 as one integer matmul.
+def matmul_mod32(d: jnp.ndarray, key_u32: jnp.ndarray,
+                 limb_bits: int) -> jnp.ndarray:
+    """Exact (d @ key) mod 2^32 via bf16 limb matmuls on the MXU.
 
-    tlwe1: u32 [..., N+1]; ksk_i64: int64 [N * t, n+1] (zero-extended u32).
+    d: small signed ints [..., K]; key_u32: u32 [K, M].  Each 32-bit key
+    column is split into ceil(32/limb_bits) limbs; every limb product is an
+    exact integer in f32 provided K * max|d| * (2^limb_bits - 1) < 2^24
+    (callers pick limb_bits accordingly).  TPU's MXU multiplies bf16 exactly
+    for integer inputs < 2^8 and accumulates in f32.
+    """
+    nl = -(-32 // limb_bits)
+    mask = (1 << limb_bits) - 1
+    df = d.astype(jnp.bfloat16)
+    acc = jnp.zeros((*d.shape[:-1], key_u32.shape[1]), u32)
+    for l in range(nl):
+        limb = ((key_u32 >> u32(limb_bits * l)) & u32(mask)).astype(
+            jnp.bfloat16
+        )
+        part = jnp.dot(df, limb, preferred_element_type=jnp.float32)
+        acc = acc + (part.astype(jnp.int32).astype(u32) << u32(limb_bits * l))
+    return acc
+
+
+def keyswitch_10(tlwe1: jnp.ndarray, ksk_mat: jnp.ndarray,
+                 p: Params) -> jnp.ndarray:
+    """Identity key switch lvl1 -> lvl0 as one (limbed) matmul.
+
+    tlwe1: u32 [..., N+1]; ksk_mat: u32 [N * t, n+1].
     The signed-digit scalar formulation turns the reference's per-digit table
     lookups (TFHEpp IdentityKeySwitch, used at src/iyokan_tfhepp.hpp:351)
     into a dense [G, N*t] x [N*t, n+1] product -- the MXU-friendly shape.
+    Exactness: K = N*t = 16384, |d| <= 1, limb 8 bits -> sums < 2^22.
     """
     a = tlwe1[..., : p.N]
     b = tlwe1[..., p.N]
     d = _ks_digits(a, p.ks_t, p.ks_basebit, 32)          # [..., N, t]
-    d = d.reshape(*d.shape[:-2], p.N * p.ks_t).astype(i64)
-    acc = d @ ksk_i64                                    # exact in int64
-    out = (-acc).astype(u32)
+    d = d.reshape(*d.shape[:-2], p.N * p.ks_t)
+    acc = matmul_mod32(d, ksk_mat, limb_bits=8)
+    out = u32(0) - acc
     return out.at[..., p.n].add(b)
 
 
@@ -225,18 +256,19 @@ def _modswitch(x: jnp.ndarray, log2n: int) -> jnp.ndarray:
     )
 
 
-def blind_rotate(tlwe0: jnp.ndarray, bkntt: jnp.ndarray, testv: jnp.ndarray,
-                 p: Params) -> jnp.ndarray:
+def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
+                 p: Params, backend=None) -> jnp.ndarray:
     """Batched blind rotation lvl0 -> TRLWE lvl1.
 
-    tlwe0: u32 [G, n+1]; bkntt: int32 [2, n, 2l, 2, N]; testv: u32 [N].
-    Returns u32 [G, 2, N] with phase testv * X^{-phase_2N}.
+    tlwe0: u32 [G, n+1]; bk_prep: backend-prepared BK with leading [n] axis;
+    testv: u32 [N].  Returns u32 [G, 2, N] with phase testv * X^{-phase_2N}.
 
     The whole gate batch advances through the n CMUX steps together: the
     per-step TRGSW is shared (it is the bootstrapping key), only the rotation
     amounts differ per row.  This is the TPU-native inversion of the
     reference's one-bootstrap-per-task design.
     """
+    be = backend or polymul.get_backend()
     G = tlwe0.shape[0]
     abar = _modswitch(tlwe0[:, : p.n], p.logN)           # [G, n]
     bbar = _modswitch(tlwe0[:, p.n], p.logN)             # [G]
@@ -250,17 +282,17 @@ def blind_rotate(tlwe0: jnp.ndarray, bkntt: jnp.ndarray, testv: jnp.ndarray,
         r = abar[:, i][:, None]                          # [G, 1] per part
         rot = rot_poly(acc, jnp.broadcast_to(r, acc.shape[:-1]), p.N)
         diff = rot - acc
-        g = jax.lax.dynamic_index_in_dim(bkntt, i, axis=1, keepdims=False)
-        return acc + extprod_term(g, diff, p)
+        g = jax.lax.dynamic_index_in_dim(bk_prep, i, axis=0, keepdims=False)
+        return acc + be.extprod1(decompose1(diff, p), g, p)
 
     return jax.lax.fori_loop(0, p.n, body, acc)
 
 
-def gate_bootstrap_tlwe1(pre: jnp.ndarray, bkntt: jnp.ndarray,
-                         p: Params) -> jnp.ndarray:
+def gate_bootstrap_tlwe1(pre: jnp.ndarray, bk_prep: jnp.ndarray,
+                         p: Params, backend=None) -> jnp.ndarray:
     """pre-linear-combined TLWE lvl0 batch -> TLWE lvl1 (+-mu) batch."""
     testv = jnp.full((p.N,), u32(p.mu))
-    acc = blind_rotate(pre, bkntt, testv, p)
+    acc = blind_rotate(pre, bk_prep, testv, p, backend)
     return sample_extract(acc, 0)
 
 
@@ -269,13 +301,10 @@ def gate_bootstrap_tlwe1(pre: jnp.ndarray, bkntt: jnp.ndarray,
 # --------------------------------------------------------------------------- #
 
 
-def blind_rotate2(tlwe0: jnp.ndarray, bk2ntt: jnp.ndarray, testv: jnp.ndarray,
-                  p: Params) -> jnp.ndarray:
-    """Batched blind rotation lvl0 -> TRLWE lvl2 (64-bit torus).
-
-    bk2ntt: int32 [2, n, 2l2, 2, 2(halves), N2]: the 64-bit key rows are
-    NTT-transformed per 32-bit half so all products stay within int64.
-    """
+def blind_rotate2(tlwe0: jnp.ndarray, bk2_prep: jnp.ndarray,
+                  testv: jnp.ndarray, p: Params, backend=None) -> jnp.ndarray:
+    """Batched blind rotation lvl0 -> TRLWE lvl2 (64-bit torus)."""
+    be = backend or polymul.get_backend()
     G = tlwe0.shape[0]
     abar = _modswitch(tlwe0[:, : p.n], p.logN2)
     bbar = _modswitch(tlwe0[:, p.n], p.logN2)
@@ -289,20 +318,8 @@ def blind_rotate2(tlwe0: jnp.ndarray, bk2ntt: jnp.ndarray, testv: jnp.ndarray,
         r = abar[:, i][:, None]
         rot = rot_poly(acc, jnp.broadcast_to(r, acc.shape[:-1]), p.N2)
         diff = rot - acc
-        d = decompose2(diff, p)                          # [G, 2l2, N2] i32
-        g = jax.lax.dynamic_index_in_dim(bk2ntt, i, axis=1, keepdims=False)
-        halves = []
-        for h in range(2):
-            outs = []
-            for pi, prime in enumerate(ntt.PRIMES):
-                dn = ntt.ntt_fwd(d.astype(i64) % prime, p.N2, pi)
-                gh = g[pi, :, :, h, :].astype(i64)       # [2l2, 2, N2]
-                prod = (dn[..., :, None, :] * gh) % prime
-                s = prod.sum(axis=-3) % prime
-                outs.append(ntt.ntt_inv(s, p.N2, pi))
-            halves.append(ntt.crt_center(outs[0], outs[1]))
-        term = halves[0].astype(u64) + (halves[1].astype(u64) << u64(32))
-        return acc + term
+        g = jax.lax.dynamic_index_in_dim(bk2_prep, i, axis=0, keepdims=False)
+        return acc + be.extprod2(decompose2(diff, p), g, p)
 
     return jax.lax.fori_loop(0, p.n, body, acc)
 
@@ -316,27 +333,28 @@ def sample_extract2(trlwe2: jnp.ndarray, idx: int) -> jnp.ndarray:
 # --------------------------------------------------------------------------- #
 
 
-def privks(tlwe2: jnp.ndarray, pksk_mat_i64: jnp.ndarray, part: int,
+def privks(tlwe2: jnp.ndarray, pksk_mat: jnp.ndarray, part: int,
            p: Params) -> jnp.ndarray:
     """TLWE lvl2 (u64) -> TRLWE lvl1 (u32) under f0(x) = -s1*x (part=0) or
     f1(x) = x (part=1).
 
-    pksk_mat_i64: int64 [N2 * t21, 2 * N] (zero-extended u32 key rows).
+    pksk_mat: u32 [N2 * t21, 2 * N].
+    Exactness: K = N2*t = 20480, |d| <= 4, limb 6 bits -> sums < 2^23.
     """
     a = tlwe2[..., : p.N2]
     b = tlwe2[..., p.N2]
     d = _ks_digits(a, p.pks_t, p.pks_basebit, 64)        # [..., N2, t]
-    d = d.reshape(*d.shape[:-2], p.N2 * p.pks_t).astype(i64)
-    acc = d @ pksk_mat_i64                               # [..., 2N]
-    out = (-acc).astype(u32).reshape(*acc.shape[:-1], 2, p.N)
+    d = d.reshape(*d.shape[:-2], p.N2 * p.pks_t)
+    acc = matmul_mod32(d, pksk_mat, limb_bits=6)         # [..., 2N]
+    out = (u32(0) - acc).reshape(*acc.shape[:-1], 2, p.N)
     b32 = ((b + u64(1 << 31)) >> u64(32)).astype(u32)
     # trivial realization of f(b): f1 -> b-part const, f0 -> a-part const
     return out.at[..., part, 0].add(b32)
 
 
-def circuit_bootstrap(tlwe0: jnp.ndarray, bk2ntt: jnp.ndarray,
-                      pksk_mats_i64: Tuple[jnp.ndarray, jnp.ndarray],
-                      p: Params) -> jnp.ndarray:
+def circuit_bootstrap(tlwe0: jnp.ndarray, bk2_prep: jnp.ndarray,
+                      pksk_mats: Tuple[jnp.ndarray, jnp.ndarray],
+                      p: Params, backend=None) -> jnp.ndarray:
     """Batched circuit bootstrapping: TLWE lvl0 bits -> TRGSW lvl1.
 
     For digit j (1-based): one lvl2 blind rotation with test vector
@@ -352,11 +370,11 @@ def circuit_bootstrap(tlwe0: jnp.ndarray, bk2ntt: jnp.ndarray,
     for j in range(1, p.l + 1):
         muj = np.uint64(1 << (64 - j * p.Bgbit - 1))
         testv = jnp.full((p.N2,), u64(muj))
-        acc2 = blind_rotate2(tlwe0, bk2ntt, testv, p)
+        acc2 = blind_rotate2(tlwe0, bk2_prep, testv, p, backend)
         tl2 = sample_extract2(acc2, 0)
         tl2 = tl2.at[..., p.N2].add(u64(muj))
         for part in (0, 1):
-            parts[part].append(privks(tl2, pksk_mats_i64[part], part, p))
+            parts[part].append(privks(tl2, pksk_mats[part], part, p))
     # rows: part-major (part 0 digits then part 1 digits)
     all_rows = parts[0] + parts[1]
     return jnp.stack(all_rows, axis=-3)                  # [G, 2l, 2, N]
@@ -372,50 +390,41 @@ class DeviceKeys:
     """Evaluation key pre-transformed for the runtime ops."""
 
     params: Params
-    bkntt: jnp.ndarray      # int32 [2, n, 2l, 2, N]
-    ksk_mat: jnp.ndarray    # int64 [N*t, n+1]
-    bk2ntt: jnp.ndarray     # int32 [2, n, 2l2, 2, 2, N2] (or empty)
-    pksk_mats: Tuple[jnp.ndarray, jnp.ndarray]  # int64 [N2*t21, 2N] each
+    backend: object         # polymul backend
+    bkntt: jnp.ndarray      # backend-prepared BK, leading [n] axis
+    ksk_mat: jnp.ndarray    # u32 [N*t, n+1]
+    bk2ntt: jnp.ndarray     # backend-prepared BK2, leading [n] axis (or [0])
+    pksk_mats: Tuple[jnp.ndarray, jnp.ndarray]  # u32 [N2*t21, 2N] each
 
     @staticmethod
-    def from_evalkey(ek: EvalKey, with_cb: bool = True) -> "DeviceKeys":
+    def from_evalkey(ek: EvalKey, with_cb: bool = True,
+                     backend=None) -> "DeviceKeys":
         p = ek.params
+        be = backend or polymul.get_backend()
+        if ek.bk2.shape[0] == 0:
+            with_cb = False
 
-        @jax.jit
-        def _prep_bk(bk):
-            return trgsw_to_ntt(bk, p.N)
-
-        bkntt = jnp.moveaxis(_prep_bk(jnp.asarray(ek.bk)), 1, 1)
-        ksk_mat = (
-            jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1)).astype(i64)
-        )
+        bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
+        ksk_mat = jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1))
 
         if with_cb:
-            bk2 = jnp.asarray(ek.bk2)
-
-            @jax.jit
-            def _prep_bk2(bk2):
-                lo = (bk2 & u64(0xFFFFFFFF)).astype(i64)
-                hi = (bk2 >> u64(32)).astype(i64)
-                halves = jnp.stack([lo, hi], axis=-2)    # [n, 2l2, 2, 2, N2]
-                res = []
-                for pi, prime in enumerate(ntt.PRIMES):
-                    res.append(ntt.ntt_fwd(halves % prime, p.N2, pi))
-                return jnp.stack(res).astype(jnp.int32)
-
-            bk2ntt = _prep_bk2(bk2)
+            bk2ntt = jax.jit(lambda bk2: be.prep2(bk2, p))(
+                jnp.asarray(ek.bk2)
+            )
             pk = ek.pksk  # u32 [2, N2, t, 2, N]
             mats = tuple(
-                jnp.asarray(pk[i].reshape(p.N2 * p.pks_t, 2 * p.N)).astype(i64)
+                jnp.asarray(pk[i].reshape(p.N2 * p.pks_t, 2 * p.N))
                 for i in (0, 1)
             )
         else:
-            bk2ntt = jnp.zeros((2, 0, 2 * p.l2, 2, 2, p.N2), jnp.int32)
-            mats = (
-                jnp.zeros((p.N2 * p.pks_t, 2 * p.N), i64),
-                jnp.zeros((p.N2 * p.pks_t, 2 * p.N), i64),
+            bk2ntt = jax.jit(lambda z: be.prep2(z, p))(
+                jnp.zeros((0, 2 * p.l2, 2, p.N2), u64)
             )
-        return DeviceKeys(p, bkntt, ksk_mat, bk2ntt, mats)
+            mats = (
+                jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
+                jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
+            )
+        return DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats)
 
 
 # --------------------------------------------------------------------------- #

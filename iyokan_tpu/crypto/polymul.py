@@ -1,0 +1,450 @@
+"""Polynomial-product backends for the external product.
+
+The single hot operation of the whole engine is
+
+    conv[..., u, :] = sum_j  digits[..., j, :]  (*)  rows[j, u, :]
+
+(negacyclic length-N convolution of small signed digit polynomials against
+the TRGSW row polynomials), computed exactly mod 2^32 (lvl1) / 2^64 (lvl2).
+
+Two interchangeable backends:
+
+  CRT64Backend -- two ~31-bit primes, int64 NTT (crypto/ntt.py).  Exact and
+      fast on CPU, but unusable on TPU: XLA emulates 64-bit integer ops and
+      cannot lower s64 dots at all.
+
+  MXUBackend -- the TPU-native path.  Small NTT primes (12289/18433 for the
+      2048th-root lvl1 transforms; 12289/24577/40961 with 4096th roots for
+      lvl2), with
+        * the 4-step NTT (N = R*C) computed as [32x32]/[64x64] matmuls whose
+          operands are split into radix-256 limbs -- bf16 (or int8) inputs
+          with f32/s32 accumulation are exact for these ranges, so the MXU
+          does the transforms;
+        * the negacyclic psi-twist folded into the stage matrices (digits
+          enter the first matmul raw, one limb wide);
+        * modular reduction via an f32 Barrett (multiply by 1/p, round,
+          fix up) -- no integer division anywhere;
+        * TRGSW rows split into 8-bit limbs so per-limb convolutions stay
+          inside the CRT range of the small primes; limbs recombine with
+          plain u32/u64 shifts after an all-int32 CRT.
+
+Range analysis (lvl1): |digit| <= Bg/2 = 32, row limb < 2^8, N = 2^10,
+j-sum over 2l = 6 rows  =>  |conv_limb| <= 6*32*255*1024 < 2^25.6, and
+p1*p2/2 = 12289*18433/2 > 2^26.7, so the 2-prime CRT is exact.  (lvl2:
+|digit| <= 128 with Bgbit2 = 8, 10 rows, N2 = 2^11 => 2^29.3 << the 3-prime
+range 2^42.)  Pointwise products of centered residues accumulate within
+int32 (chunked for the largest prime).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import Params
+from . import ntt as crt64ntt
+
+u32 = jnp.uint32
+u64 = jnp.uint64
+i32 = jnp.int32
+f32 = jnp.float32
+
+# lvl1 transforms need 2N = 2048 | p-1; lvl2 needs 4096 | p-1.
+PRIMES1 = (12289, 18433)
+PRIMES2 = (12289, 40961, 61441)
+
+_MM_DTYPE = jnp.int8 if os.environ.get("IYOKAN_MM_INT8") else jnp.bfloat16
+_MM_ACC = jnp.int32 if _MM_DTYPE == jnp.int8 else jnp.float32
+
+
+def _is_prime(p: int) -> bool:
+    if p < 2:
+        return False
+    for q in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if p % q == 0:
+            return p == q
+    d, s = p - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, p)
+        if x in (1, p - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % p
+            if x == p - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _factorize(n: int):
+    fs, d = set(), 2
+    while d * d <= n:
+        while n % d == 0:
+            fs.add(d)
+            n //= d
+        d += 1
+    if n > 1:
+        fs.add(n)
+    return fs
+
+
+@functools.lru_cache(maxsize=None)
+def _generator(p: int) -> int:
+    assert _is_prime(p), f"{p} is not prime"
+    factors = _factorize(p - 1)
+    for g in range(2, p):
+        if all(pow(g, (p - 1) // q, p) != 1 for q in factors):
+            return g
+    raise AssertionError(f"no generator found for {p}")
+
+
+# --------------------------------------------------------------------------- #
+# modular helpers (all int32 + f32, centered representatives)
+# --------------------------------------------------------------------------- #
+
+
+def center_reduce(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """x int32 (|x| < 2^31) -> centered residue in (-p/2, p/2], exactly.
+
+    f32 Barrett: q = round(x/p) errs by at most ~1, leaving |r| <= 3p/2;
+    one conditional fix-up pair lands in the centered range.
+    """
+    q = jnp.round(x.astype(f32) * np.float32(1.0 / p)).astype(i32)
+    r = x - q * np.int32(p)
+    r = r - np.int32(p) * (r > np.int32(p // 2)).astype(i32)
+    r = r + np.int32(p) * (r < -np.int32(p // 2)).astype(i32)
+    return r
+
+
+def _limbs_i8(x_centered: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Host: centered int matrix -> radix-256 limbs (lo in [-128,128),
+    hi = (x - lo)/256), both within int8 range for p < 2^15.4."""
+    lo = ((x_centered + 128) % 256) - 128
+    hi = (x_centered - lo) // 256
+    assert np.abs(hi).max() <= 127 and np.abs(lo).max() <= 128
+    return hi.astype(np.int32), lo.astype(np.int32)
+
+
+def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact small-int matmul on the MXU: [..., K] @ [K, M] -> int32."""
+    out = jnp.einsum(
+        "...k,km->...m",
+        a.astype(_MM_DTYPE), b.astype(_MM_DTYPE),
+        preferred_element_type=_MM_ACC,
+    )
+    return out.astype(i32)
+
+
+def _mm_data2(x_centered: jnp.ndarray, mat_hi: jnp.ndarray,
+              mat_lo: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Matmul of full-range centered residues against a limbed matrix.
+
+    x = x1*256 + x0 (data limbs), mat = m1*256 + m0:
+      z = (x1@m1)*2^16 + (x1@m0 + x0@m1)*2^8 + x0@m0
+    The 2^16 partial is Barrett-reduced before scaling to stay in int32.
+    """
+    x0 = ((x_centered + 128) & 255) - 128
+    x1 = (x_centered - x0) >> 8
+    z11 = center_reduce(_mm(x1, mat_hi), p)
+    zmid = _mm(x1, mat_lo) + _mm(x0, mat_hi)
+    z = center_reduce(z11 * np.int32((1 << 16) % p) +
+                      (zmid << 8) + _mm(x0, mat_lo), p)
+    return z
+
+
+# --------------------------------------------------------------------------- #
+# 4-step NTT tables
+# --------------------------------------------------------------------------- #
+
+
+def _split_rc(N: int) -> Tuple[int, int]:
+    logn = int(np.log2(N))
+    r = 1 << (logn // 2)
+    return r, N // r  # (R, C), R <= C
+
+
+@dataclasses.dataclass(frozen=True)
+class _PrimeTab:
+    p: int
+    # forward: stage1 [C, C] limbs, twiddle [R, C], stage2 [R, R] limbs
+    w1_hi: np.ndarray
+    w1_lo: np.ndarray
+    t: np.ndarray
+    w2_hi: np.ndarray
+    w2_lo: np.ndarray
+    # inverse: stage1 [R, R] limbs, twiddle [R, C], stage2 [C, C] limbs
+    iw2_hi: np.ndarray
+    iw2_lo: np.ndarray
+    it: np.ndarray
+    iw1_hi: np.ndarray
+    iw1_lo: np.ndarray
+
+
+def _centered(v: int, p: int) -> int:
+    v %= p
+    return v - p if v > p // 2 else v
+
+
+@functools.lru_cache(maxsize=None)
+def tables(N: int, primes: Tuple[int, ...]) -> Tuple[_PrimeTab, ...]:
+    R, C = _split_rc(N)
+    out = []
+    for p in primes:
+        assert (p - 1) % (2 * N) == 0, (p, N)
+        g = _generator(p)
+        psi = pow(g, (p - 1) // (2 * N), p)
+        assert pow(psi, N, p) == p - 1
+        w = (psi * psi) % p            # primitive N-th root
+        wc = pow(w, R, p)              # C-th root
+        wr = pow(w, C, p)              # R-th root
+        ipsi = pow(psi, p - 2, p)
+        iw = pow(w, p - 2, p)
+        iwc = pow(wc, p - 2, p)
+        iwr = pow(wr, p - 2, p)
+        ninv = pow(N, p - 2, p)
+
+        # forward stage1: W1[c, s] = psi^(cR) * wc^(cs)
+        w1 = np.array(
+            [[_centered(pow(psi, c * R, p) * pow(wc, c * s, p), p)
+              for s in range(C)] for c in range(C)], np.int64)
+        # forward twiddle: T[r, s] = psi^r * w^(rs)
+        t = np.array(
+            [[_centered(pow(psi, r, p) * pow(w, r * s, p), p)
+              for s in range(C)] for r in range(R)], np.int64)
+        # forward stage2: W2[r, q] = wr^(rq)
+        w2 = np.array(
+            [[_centered(pow(wr, r * q, p), p) for q in range(R)]
+             for r in range(R)], np.int64)
+
+        # inverse stage1 (contract q): iW2[q, r] = iwr^(qr)
+        iw2 = np.array(
+            [[_centered(pow(iwr, q * r, p), p) for r in range(R)]
+             for q in range(R)], np.int64)
+        # inverse twiddle: iT[r, s] = ipsi^r * iw^(rs)
+        it = np.array(
+            [[_centered(pow(ipsi, r, p) * pow(iw, r * s, p), p)
+              for s in range(C)] for r in range(R)], np.int64)
+        # inverse stage2 (contract s): iW1[s, c] = ninv * ipsi^(cR) * iwc^(cs)
+        iw1 = np.array(
+            [[_centered(ninv * pow(ipsi, c * R, p) * pow(iwc, c * s, p), p)
+              for c in range(C)] for s in range(C)], np.int64)
+
+        w1h, w1l = _limbs_i8(w1)
+        w2h, w2l = _limbs_i8(w2)
+        iw2h, iw2l = _limbs_i8(iw2)
+        iw1h, iw1l = _limbs_i8(iw1)
+        out.append(_PrimeTab(
+            p, w1h, w1l, t.astype(np.int32), w2h, w2l,
+            iw2h, iw2l, it.astype(np.int32), iw1h, iw1l,
+        ))
+    return tuple(out)
+
+
+def _fwd(x: jnp.ndarray, N: int, tab: _PrimeTab,
+         small_input: bool) -> jnp.ndarray:
+    """Negacyclic NTT, x int32 [..., N] -> centered residues [..., N].
+
+    small_input=True: |x| <= 127 (gadget digits) -> single-limb first matmul.
+    Output index k = q*C + s.
+    """
+    R, C = _split_rc(N)
+    p = tab.p
+    lead = x.shape[:-1]
+    a = x.reshape(*lead, C, R)
+    a = jnp.swapaxes(a, -1, -2)                       # [.., R, C] (A[r, c])
+    if small_input:
+        y = center_reduce(
+            (_mm(a, jnp.asarray(tab.w1_hi)) << 8)
+            + _mm(a, jnp.asarray(tab.w1_lo)), p,
+        )
+    else:
+        y = _mm_data2(a, jnp.asarray(tab.w1_hi), jnp.asarray(tab.w1_lo), p)
+    y = center_reduce(y * jnp.asarray(tab.t), p)      # [.., R, C]
+    # stage2 contracts r: Z[q, s] = sum_r W2[r, q] * Y[r, s]
+    yt = jnp.swapaxes(y, -1, -2)                      # [.., C(s), R(r)]
+    z = _mm_data2(yt, jnp.asarray(tab.w2_hi), jnp.asarray(tab.w2_lo), p)
+    z = jnp.swapaxes(z, -1, -2)                       # [.., R(q), C(s)]
+    return z.reshape(*lead, N)
+
+
+def _inv(x: jnp.ndarray, N: int, tab: _PrimeTab) -> jnp.ndarray:
+    """Inverse negacyclic NTT; input index k = q*C + s, output coeffs."""
+    R, C = _split_rc(N)
+    p = tab.p
+    lead = x.shape[:-1]
+    z = x.reshape(*lead, R, C)                        # [.., q, s]
+    # stage1 contracts q: U[r, s] = sum_q Z[q, s] * iW2[q, r]
+    zt = jnp.swapaxes(z, -1, -2)                      # [.., s, q]
+    uu = _mm_data2(zt, jnp.asarray(tab.iw2_hi), jnp.asarray(tab.iw2_lo), p)
+    uu = jnp.swapaxes(uu, -1, -2)                     # [.., r, s]
+    v = center_reduce(uu * jnp.asarray(tab.it), p)
+    # stage2 contracts s: A[r, c] = sum_s V[r, s] * iW1[s, c]
+    a = _mm_data2(v, jnp.asarray(tab.iw1_hi), jnp.asarray(tab.iw1_lo), p)
+    a = jnp.swapaxes(a, -1, -2)                       # [.., c, r]
+    return a.reshape(*lead, N)
+
+
+# --------------------------------------------------------------------------- #
+# backends
+# --------------------------------------------------------------------------- #
+
+
+class MXUBackend:
+    """Exact TRGSW external products via MXU matmul NTTs (see module doc)."""
+
+    name = "mxu"
+
+    # -------------------------- lvl1 (u32) ----------------------------- #
+    def prep1(self, rows_u32: jnp.ndarray, p: Params) -> jnp.ndarray:
+        """rows u32 [..., RR, 2, N] -> centered NTT limb residues
+        int32 [..., RR, 2, P1*4, N]."""
+        tabs = tables(p.N, PRIMES1)
+        outs = []
+        for pi, tab in enumerate(tabs):
+            for l in range(4):
+                limb = ((rows_u32 >> u32(8 * l)) & u32(0xFF)).astype(i32)
+                outs.append(_fwd(limb, p.N, tab, small_input=False))
+        return jnp.stack(outs, axis=-2)
+
+    def extprod1(self, digits: jnp.ndarray, prep: jnp.ndarray,
+                 p: Params) -> jnp.ndarray:
+        """digits i32 [..., RR, N]; prep [..., RR, 2, P1*4, N]
+        (broadcastable against digits' leading dims) -> u32 [..., 2, N]."""
+        tabs = tables(p.N, PRIMES1)
+        dn = [
+            _fwd(digits, p.N, tab, small_input=True) for tab in tabs
+        ]  # each [..., RR, N]
+        p1, p2 = tabs[0].p, tabs[1].p
+        ip1 = _centered(pow(p1, p2 - 2, p2), p2)
+
+        acc = None
+        for l in range(4):
+            res = []
+            for pi, tab in enumerate(tabs):
+                g = prep[..., :, :, pi * 4 + l, :]     # [..., RR, 2, N]
+                prod = dn[pi][..., :, None, :] * g     # int32, |.| < 2^29.4
+                s = center_reduce(prod.sum(axis=-3), tab.p)
+                res.append(_inv(s, p.N, tab))
+            # 2-prime CRT, all int32
+            d = res[1] - res[0]
+            t = center_reduce(d * np.int32(ip1), p2)
+            c = res[0] + np.int32(p1) * t              # exact conv_limb
+            term = c.astype(u32) << u32(8 * l)
+            acc = term if acc is None else acc + term
+        return acc
+
+    # -------------------------- lvl2 (u64) ----------------------------- #
+    def prep2(self, rows_u64: jnp.ndarray, p: Params) -> jnp.ndarray:
+        """rows u64 [..., RR, 2, N2] -> int32 [..., RR, 2, P2*8, N2]."""
+        tabs = tables(p.N2, PRIMES2)
+        outs = []
+        for tab in tabs:
+            for l in range(8):
+                limb = ((rows_u64 >> u64(8 * l)) & u64(0xFF)).astype(i32)
+                outs.append(_fwd(limb, p.N2, tab, small_input=False))
+        return jnp.stack(outs, axis=-2)
+
+    def extprod2(self, digits: jnp.ndarray, prep: jnp.ndarray,
+                 p: Params) -> jnp.ndarray:
+        tabs = tables(p.N2, PRIMES2)
+        dn = [_fwd(digits, p.N2, tab, small_input=True) for tab in tabs]
+        p1, p2, p3 = (t.p for t in tabs)
+        ip1 = _centered(pow(p1, p2 - 2, p2), p2)
+        ip12 = _centered(pow(p1 * p2 % p3, p3 - 2, p3), p3)
+
+        acc = None
+        for l in range(8):
+            res = []
+            for pi, tab in enumerate(tabs):
+                g = prep[..., :, :, pi * 8 + l, :]
+                prod = dn[pi][..., :, None, :] * g
+                # chunked j-sum: partial sums must stay within int32
+                # (chunk = floor(2^31 / (p/2)^2) terms per Barrett)
+                chunk = max(1, (1 << 31) // ((tab.p // 2 + 1) ** 2))
+                rr = prod.shape[-3]
+                s = None
+                for j0 in range(0, rr, chunk):
+                    part = prod[..., j0 : j0 + chunk, :, :].sum(axis=-3)
+                    s = part if s is None else s + part
+                    s = center_reduce(s, tab.p)
+                res.append(_inv(s, p.N2, tab))
+            # 3-prime CRT; the true value is < 2^30 so intermediates fit i32
+            d = res[1] - res[0]
+            t2 = center_reduce(d * np.int32(ip1), p2)
+            c12 = res[0] + np.int32(p1) * t2
+            d3 = res[2] - center_reduce(c12, p3)
+            t3 = center_reduce(d3 * np.int32(ip12), p3)
+            c = c12 + np.int32(p1 * p2) * t3
+            term = c.astype(i32).astype(jnp.int64).astype(u64) << u64(8 * l)
+            acc = term if acc is None else acc + term
+        return acc
+
+
+class CRT64Backend:
+    """int64 CRT NTT backend (CPU); see crypto/ntt.py."""
+
+    name = "crt64"
+
+    def prep1(self, rows_u32: jnp.ndarray, p: Params) -> jnp.ndarray:
+        outs = []
+        for pi, prime in enumerate(crt64ntt.PRIMES):
+            r = rows_u32.astype(jnp.int64) % prime
+            outs.append(crt64ntt.ntt_fwd(r, p.N, pi))
+        return jnp.stack(outs, axis=-2).astype(i32)  # [..., RR, 2, P, N]
+
+    def extprod1(self, digits, prep, p: Params):
+        outs = []
+        for pi, prime in enumerate(crt64ntt.PRIMES):
+            dn = crt64ntt.ntt_fwd(digits.astype(jnp.int64) % prime, p.N, pi)
+            g = prep[..., :, :, pi, :].astype(jnp.int64)
+            prod = (dn[..., :, None, :] * g) % prime
+            s = prod.sum(axis=-3) % prime
+            outs.append(crt64ntt.ntt_inv(s, p.N, pi))
+        return crt64ntt.crt_center(outs[0], outs[1]).astype(u32)
+
+    def prep2(self, rows_u64: jnp.ndarray, p: Params) -> jnp.ndarray:
+        lo = (rows_u64 & u64(0xFFFFFFFF)).astype(jnp.int64)
+        hi = (rows_u64 >> u64(32)).astype(jnp.int64)
+        halves = jnp.stack([lo, hi], axis=-2)         # [..., RR, 2, 2, N2]
+        outs = []
+        for pi, prime in enumerate(crt64ntt.PRIMES):
+            outs.append(crt64ntt.ntt_fwd(halves % prime, p.N2, pi))
+        # -> [..., RR, 2, P*2, N2] (prime-major, half-minor)
+        st = jnp.stack(outs, axis=-3)                 # [..., RR, 2, P, 2, N2]
+        return st.reshape(*st.shape[:-3], 4, st.shape[-1]).astype(jnp.int64)
+
+    def extprod2(self, digits, prep, p: Params):
+        halves = []
+        for h in range(2):
+            outs = []
+            for pi, prime in enumerate(crt64ntt.PRIMES):
+                dn = crt64ntt.ntt_fwd(
+                    digits.astype(jnp.int64) % prime, p.N2, pi
+                )
+                g = prep[..., :, :, pi * 2 + h, :].astype(jnp.int64)
+                prod = (dn[..., :, None, :] * g) % prime
+                s = prod.sum(axis=-3) % prime
+                outs.append(crt64ntt.ntt_inv(s, p.N2, pi))
+            halves.append(crt64ntt.crt_center(outs[0], outs[1]))
+        return halves[0].astype(u64) + (halves[1].astype(u64) << u64(32))
+
+
+_BACKENDS = {"mxu": MXUBackend(), "crt64": CRT64Backend()}
+
+
+def get_backend(name: str = None):
+    if name is None:
+        name = os.environ.get("IYOKAN_POLY_BACKEND")
+    if name is None:
+        name = "crt64" if jax.default_backend() == "cpu" else "mxu"
+    return _BACKENDS[name]

@@ -32,6 +32,7 @@ from .. import gates as G
 from ..circuit.compile import Compiled
 from ..crypto import host, ops
 from ..crypto.ops import u32
+from ..parallel.mesh import replicated, shard_batch
 
 I32 = jnp.int32
 
@@ -159,8 +160,9 @@ class TFHEEngine:
             pres.extend([pre1, pre2])
         if not pres:
             return vals
-        batch = jnp.concatenate(pres, axis=0)
-        t1 = ops.gate_bootstrap_tlwe1(batch, self.keys.bkntt, p)
+        batch = shard_batch(jnp.concatenate(pres, axis=0))
+        t1 = ops.gate_bootstrap_tlwe1(batch, self.keys.bkntt, p,
+                                      self.keys.backend)
         rows = []
         if nbin:
             rows.append(t1[:nbin])
@@ -174,17 +176,18 @@ class TFHEEngine:
         return vals.at[ids].set(out)
 
     def _cb_pairs(self, vals, addr_nodes):
-        """CBWithInv of address wires -> NTT'd TRGSW selectors.
+        """CBWithInv of address wires -> prepared TRGSW selectors.
 
-        Returns int32 [2(primes), a, 2(normal/inv), 2l, 2, N].
+        Returns backend-prepared rows [a, 2(normal/inv), 2l, 2, K, N].
         """
         p = self.p
         tl = vals[np.asarray(addr_nodes, np.int32)]
         trgsw = ops.circuit_bootstrap(tl, self.keys.bk2ntt,
-                                      self.keys.pksk_mats, p)
+                                      self.keys.pksk_mats, p,
+                                      self.keys.backend)
         inv = ops.trgsw_invert(trgsw, p)
         both = jnp.stack([trgsw, inv], axis=1)       # [a, 2, 2l, 2, N]
-        return ops.trgsw_to_ntt(both, p.N)
+        return ops.prep_trgsw(both, p, self.keys.backend)
 
     def _rom_read(self, vals, roms, name):
         """Reference TaskTFHEppROMUX: UROMUX inter-word CMUX tree then LROMUX
@@ -197,19 +200,20 @@ class TFHEEngine:
         log2wpt = p.logN - log2w                     # words per TRLWE
         n_inter = max(0, a - log2wpt)
 
+        be = self.keys.backend
         words = roms[name]                           # [2^n_inter, 2, N]
         for b in range(n_inter):
-            g = gn[:, log2wpt + b, 1]                # inverted: bit==0 -> even
-            words = ops.cmux(g, words[0::2], words[1::2], p)
+            g = gn[log2wpt + b, 1]                   # inverted: bit==0 -> even
+            words = ops.cmux(g, words[0::2], words[1::2], p, be)
         acc = words[0]                               # [2, N]
 
         for bit in range(1, log2wpt + 1):
             if log2wpt - bit >= a:
                 continue
             shift = (2 * p.N) - (p.N >> bit)
-            g = gn[:, log2wpt - bit, 0]              # normal
+            g = gn[log2wpt - bit, 0]                 # normal
             rot = ops.rot_poly(acc, jnp.full((2,), shift, I32), p.N)
-            acc = acc + ops.extprod_term(g, rot - acc, p)
+            acc = acc + ops.extprod_term(g, rot - acc, p, be)
 
         lvl1 = jnp.stack([ops.sample_extract(acc, b) for b in range(w)])
         out = ops.keyswitch_10(lvl1, self.keys.ksk_mat, p)
@@ -223,8 +227,9 @@ class TFHEEngine:
         gn = self._cb_pairs(vals, inst.addr_nodes)
         words = rams[name]                           # [2^a, w, 2, N]
         for b in range(inst.addr_width):
-            g = gn[:, b, 1]                          # inverted
-            words = ops.cmux(g, words[0::2], words[1::2], p)
+            g = gn[b, 1]                             # inverted
+            words = ops.cmux(g, words[0::2], words[1::2], p,
+                             self.keys.backend)
         acc = words[0]                               # [w, 2, N]
         lvl1 = ops.sample_extract(acc, 0)            # [w, N+1]
         out = ops.keyswitch_10(lvl1, self.keys.ksk_mat, p)
@@ -248,7 +253,7 @@ class TFHEEngine:
         pre2 = (rdata - wren[None, :]).at[:, p.n].add(u32(0) - mu)
         testv = jnp.full((p.N,), mu)
         tr = ops.blind_rotate(jnp.concatenate([pre1, pre2]), self.keys.bkntt,
-                              testv, p)
+                              testv, p, self.keys.backend)
         written = tr[:w] + tr[w:]
         written = written.at[:, 1, 0].add(mu)        # [w, 2, N]
 
@@ -258,18 +263,20 @@ class TFHEEngine:
         for j in range(a):
             sel = ((addrs >> j) & 1).astype(np.int32)     # 1 -> normal(0)
             pol = np.where(sel == 1, 0, 1)
-            g = gn[:, j, :][:, pol]                  # [2, 2^a, 2l, 2, N]
-            g = g[:, :, None]                        # broadcast over w
-            acc = ops.cmux(g, acc, store, p)
+            g = gn[j][pol]                           # [2^a, 2l, 2, K, N]
+            g = g[:, None]                           # broadcast over w
+            acc = ops.cmux(g, acc, store, p, self.keys.backend)
 
         lvl1 = ops.sample_extract(acc, 0)            # [2^a, w, N+1]
-        flat = lvl1.reshape((1 << a) * w, p.N + 1)
+        flat = shard_batch(lvl1.reshape((1 << a) * w, p.N + 1))
         tlwe0 = ops.keyswitch_10(flat, self.keys.ksk_mat, p)
-        fresh = ops.blind_rotate(tlwe0, self.keys.bkntt, testv, p)
+        fresh = ops.blind_rotate(tlwe0, self.keys.bkntt, testv, p,
+                                 self.keys.backend)
         return fresh.reshape(1 << a, w, 2, p.N)
 
     # ------------------------------------------------------------------ #
     def _settle_impl(self, vals, rams, roms):
+        vals = replicated(vals)
         ram_sel: Dict[str, jnp.ndarray] = {}
         for plan, tables in zip(self.c.levels, self._lin_tables):
             vals = self._bootstrap_level(vals, plan, tables)

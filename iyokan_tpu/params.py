@@ -110,17 +110,19 @@ CGGI128 = Params(
     n=635, alpha=2.0 ** -15,
     N=1024, l=3, Bgbit=6, alpha1=2.0 ** -25,
     ks_t=16, ks_basebit=1,
-    N2=2048, l2=4, Bgbit2=9, alpha2=2.0 ** -44,
+    N2=2048, l2=5, Bgbit2=8, alpha2=2.0 ** -44,
     pks_t=10, pks_basebit=3, alpha_pks=2.0 ** -31,
 )
 
 # CGGI16 80-bit option (reference CMakeLists.txt:3 `IYOKAN_80BIT_SECURITY`).
+# (lvl2 digit base Bgbit2 = 8 keeps gadget digits within int8 for the MXU
+# polynomial backend; l2 = 5 preserves the 40-bit decomposition precision.)
 CGGI16_80 = Params(
     name="cggi16-80",
     n=500, alpha=2.44e-5,
-    N=1024, l=2, Bgbit=10, alpha1=3.73e-9,
+    N=1024, l=3, Bgbit=7, alpha1=3.73e-9,
     ks_t=16, ks_basebit=1,
-    N2=2048, l2=4, Bgbit2=9, alpha2=2.0 ** -44,
+    N2=2048, l2=5, Bgbit2=8, alpha2=2.0 ** -44,
     pks_t=10, pks_basebit=3, alpha_pks=2.0 ** -31,
 )
 
@@ -131,7 +133,7 @@ TOY = Params(
     n=64, alpha=2.0 ** -20,
     N=256, l=3, Bgbit=6, alpha1=2.0 ** -30,
     ks_t=16, ks_basebit=1,
-    N2=512, l2=4, Bgbit2=9, alpha2=2.0 ** -50,
+    N2=512, l2=5, Bgbit2=8, alpha2=2.0 ** -50,
     pks_t=10, pks_basebit=3, alpha_pks=2.0 ** -38,
 )
 

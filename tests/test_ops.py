@@ -22,7 +22,7 @@ def test_extprod_cmux_select(toy, toy_sk, rng):
     c1 = jnp.asarray(host.trlwe1_encrypt(toy_sk, m1, toy.alpha1, rng))
     for sel in (0, 1):
         g = jnp.asarray(host.trgsw1_encrypt(toy_sk, sel, rng))
-        g_ntt = jax.jit(lambda g: ops.trgsw_to_ntt(g, toy.N))(g)
+        g_ntt = jax.jit(lambda g: ops.prep_trgsw(g, toy))(g)
         out = jax.jit(lambda gn, a, b: ops.cmux(gn, a, b, toy))(g_ntt, c1, c0)
         ph = host.trlwe1_phase(toy_sk, np.asarray(out))
         got = 1 if ph[0] < 1 << 31 else 0
@@ -38,7 +38,7 @@ def test_trgsw_invert(toy, toy_sk, rng):
     c1 = jnp.asarray(host.trlwe1_encrypt(toy_sk, m1, toy.alpha1, rng))
     g = jnp.asarray(host.trgsw1_encrypt(toy_sk, 1, rng))
     ginv = ops.trgsw_invert(g, toy)  # encrypts 0
-    g_ntt = jax.jit(lambda g: ops.trgsw_to_ntt(g, toy.N))(ginv)
+    g_ntt = jax.jit(lambda g: ops.prep_trgsw(g, toy))(ginv)
     out = jax.jit(lambda gn, a, b: ops.cmux(gn, a, b, toy))(g_ntt, c1, c0)
     ph = host.trlwe1_phase(toy_sk, np.asarray(out))
     assert (ph[0] < 1 << 31)  # selected c0 (message +mu -> bit 1)
@@ -141,14 +141,14 @@ def test_circuit_bootstrap_cmux(toy, toy_sk, toy_dk, rng):
     c1 = jnp.asarray(host.trlwe1_encrypt(toy_sk, m1, p.alpha1, rng))
 
     for i, m in enumerate(bits):
-        g_ntt = jax.jit(lambda g: ops.trgsw_to_ntt(g, p.N))(trgsw[i])
+        g_ntt = jax.jit(lambda g: ops.prep_trgsw(g, p))(trgsw[i])
         out = jax.jit(lambda gn, a, b: ops.cmux(gn, a, b, p))(g_ntt, c1, c0)
         ph = host.trlwe1_phase(toy_sk, np.asarray(out))
         got = 1 if ph[0] < 1 << 31 else 0
         want = 0 if m else 1  # m selects c1 (bit 0), else c0 (bit 1)
         assert got == want, f"CB bit {m}"
         # also check the inverted TRGSW
-        ginv_ntt = jax.jit(lambda g: ops.trgsw_to_ntt(g, p.N))(
+        ginv_ntt = jax.jit(lambda g: ops.prep_trgsw(g, p))(
             ops.trgsw_invert(trgsw[i], p)
         )
         out = jax.jit(lambda gn, a, b: ops.cmux(gn, a, b, p))(ginv_ntt, c1, c0)
