@@ -54,13 +54,13 @@ def main():
     kk = jnp.full((G,), kk, jnp.int32)
 
     @jax.jit
-    def nand_batch(A, B, ca, cb, kk):
+    def nand_batch(keys, A, B, ca, cb, kk):
         pre = ops.gate_linear(A, B, ca, cb, kk, p)
-        t1 = ops.gate_bootstrap_tlwe1(pre, keys.bkntt, p)
+        t1 = ops.gate_bootstrap_tlwe1(pre, keys.bkntt, p, keys.backend)
         return ops.keyswitch_10(t1, keys.ksk_mat, p)
 
     t0 = time.time()
-    out = nand_batch(A, B, ca, cb, kk)
+    out = nand_batch(keys, A, B, ca, cb, kk)
     out.block_until_ready()
     print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
 
@@ -73,7 +73,7 @@ def main():
 
     t0 = time.time()
     for _ in range(reps):
-        out = nand_batch(A, B, ca, cb, kk)
+        out = nand_batch(keys, A, B, ca, cb, kk)
     out.block_until_ready()
     dt = (time.time() - t0) / reps
     rate = G / dt

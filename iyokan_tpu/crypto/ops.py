@@ -387,7 +387,12 @@ def circuit_bootstrap(tlwe0: jnp.ndarray, bk2_prep: jnp.ndarray,
 
 @dataclasses.dataclass
 class DeviceKeys:
-    """Evaluation key pre-transformed for the runtime ops."""
+    """Evaluation key pre-transformed for the runtime ops.
+
+    Registered as a jax pytree so jitted entry points take the keys as an
+    *argument*: closing over them would embed hundreds of MB of key material
+    as HLO constants.
+    """
 
     params: Params
     backend: object         # polymul backend
@@ -425,6 +430,16 @@ class DeviceKeys:
                 jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
             )
         return DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats)
+
+
+jax.tree_util.register_pytree_node(
+    DeviceKeys,
+    lambda dk: (
+        (dk.bkntt, dk.ksk_mat, dk.bk2ntt, dk.pksk_mats),
+        (dk.params, dk.backend),
+    ),
+    lambda aux, children: DeviceKeys(aux[0], aux[1], *children),
+)
 
 
 # --------------------------------------------------------------------------- #

@@ -46,6 +46,8 @@ class TFHEEngine:
         self.keys = ops.DeviceKeys.from_evalkey(eval_key, with_cb=needs_cb)
         self._settle = jax.jit(self._settle_impl)
         self._tick = jax.jit(self._tick_impl)
+        # jitted entry points take the keys as arguments (pytree), never as
+        # closure constants -- see DeviceKeys
         # per-level constant tables for the linear pre-combination
         self._lin_tables = []
         for plan in compiled.levels:
@@ -138,7 +140,7 @@ class TFHEEngine:
     # ------------------------------------------------------------------ #
     # the per-cycle combinational sweep
     # ------------------------------------------------------------------ #
-    def _bootstrap_level(self, vals, plan, tables):
+    def _bootstrap_level(self, keys, vals, plan, tables):
         """One fused batch: all 2-input gates + MUX halves of a level."""
         p = self.p
         mu = u32(p.mu)
@@ -161,8 +163,8 @@ class TFHEEngine:
         if not pres:
             return vals
         batch = shard_batch(jnp.concatenate(pres, axis=0))
-        t1 = ops.gate_bootstrap_tlwe1(batch, self.keys.bkntt, p,
-                                      self.keys.backend)
+        t1 = ops.gate_bootstrap_tlwe1(batch, keys.bkntt, p,
+                                      keys.backend)
         rows = []
         if nbin:
             rows.append(t1[:nbin])
@@ -171,36 +173,35 @@ class TFHEEngine:
             comb = comb.at[:, p.N].add(mu)
             rows.append(comb)
         lvl1 = jnp.concatenate(rows, axis=0)
-        out = ops.keyswitch_10(lvl1, self.keys.ksk_mat, p)
+        out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
         ids = np.concatenate([plan.bin_out, plan.mux_out])
         return vals.at[ids].set(out)
 
-    def _cb_pairs(self, vals, addr_nodes):
+    def _cb_pairs(self, keys, vals, addr_nodes):
         """CBWithInv of address wires -> prepared TRGSW selectors.
 
         Returns backend-prepared rows [a, 2(normal/inv), 2l, 2, K, N].
         """
         p = self.p
         tl = vals[np.asarray(addr_nodes, np.int32)]
-        trgsw = ops.circuit_bootstrap(tl, self.keys.bk2ntt,
-                                      self.keys.pksk_mats, p,
-                                      self.keys.backend)
+        trgsw = ops.circuit_bootstrap(tl, keys.bk2ntt,
+                                      keys.pksk_mats, p, keys.backend)
         inv = ops.trgsw_invert(trgsw, p)
         both = jnp.stack([trgsw, inv], axis=1)       # [a, 2, 2l, 2, N]
-        return ops.prep_trgsw(both, p, self.keys.backend)
+        return ops.prep_trgsw(both, p, keys.backend)
 
-    def _rom_read(self, vals, roms, name):
+    def _rom_read(self, keys, vals, roms, name):
         """Reference TaskTFHEppROMUX: UROMUX inter-word CMUX tree then LROMUX
         intra-word rotate ladder (src/iyokan_tfhepp.hpp:238-338)."""
         p = self.p
         inst = self.d.rom_insts[name]
         a, w = inst.addr_width, inst.data_width
-        gn = self._cb_pairs(vals, inst.addr_nodes)
+        gn = self._cb_pairs(keys, vals, inst.addr_nodes)
         log2w = w.bit_length() - 1
         log2wpt = p.logN - log2w                     # words per TRLWE
         n_inter = max(0, a - log2wpt)
 
-        be = self.keys.backend
+        be = keys.backend
         words = roms[name]                           # [2^n_inter, 2, N]
         for b in range(n_inter):
             g = gn[log2wpt + b, 1]                   # inverted: bit==0 -> even
@@ -216,27 +217,27 @@ class TFHEEngine:
             acc = acc + ops.extprod_term(g, rot - acc, p, be)
 
         lvl1 = jnp.stack([ops.sample_extract(acc, b) for b in range(w)])
-        out = ops.keyswitch_10(lvl1, self.keys.ksk_mat, p)
+        out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
         return vals.at[np.asarray(inst.read_nodes, np.int32)].set(out), None
 
-    def _ram_read(self, vals, rams, name):
+    def _ram_read(self, keys, vals, rams, name):
         """Reference TaskTFHEppRAMUX (src/iyokan_tfhepp.hpp:409-498):
         CMUX tree over 2^a words per data bit, inverted selectors."""
         p = self.p
         inst = self.d.ram_insts[name]
-        gn = self._cb_pairs(vals, inst.addr_nodes)
+        gn = self._cb_pairs(keys, vals, inst.addr_nodes)
         words = rams[name]                           # [2^a, w, 2, N]
         for b in range(inst.addr_width):
             g = gn[b, 1]                             # inverted
             words = ops.cmux(g, words[0::2], words[1::2], p,
-                             self.keys.backend)
+                             keys.backend)
         acc = words[0]                               # [w, 2, N]
         lvl1 = ops.sample_extract(acc, 0)            # [w, N+1]
-        out = ops.keyswitch_10(lvl1, self.keys.ksk_mat, p)
+        out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
         vals = vals.at[np.asarray(inst.read_nodes, np.int32)].set(out)
         return vals, gn
 
-    def _ram_write(self, vals, store, name, gn):
+    def _ram_write(self, keys, vals, store, name, gn):
         """Reference write path (src/iyokan_tfhepp.hpp:500-673): MUXwoSE ->
         per-address CMUX chains -> SEI+KS -> batched bootstrap refresh."""
         p = self.p
@@ -252,8 +253,8 @@ class TFHEEngine:
         pre1 = (wren[None, :] + wdata).at[:, p.n].add(u32(0) - mu)
         pre2 = (rdata - wren[None, :]).at[:, p.n].add(u32(0) - mu)
         testv = jnp.full((p.N,), mu)
-        tr = ops.blind_rotate(jnp.concatenate([pre1, pre2]), self.keys.bkntt,
-                              testv, p, self.keys.backend)
+        tr = ops.blind_rotate(jnp.concatenate([pre1, pre2]), keys.bkntt,
+                              testv, p, keys.backend)
         written = tr[:w] + tr[w:]
         written = written.at[:, 1, 0].add(mu)        # [w, 2, N]
 
@@ -265,35 +266,36 @@ class TFHEEngine:
             pol = np.where(sel == 1, 0, 1)
             g = gn[j][pol]                           # [2^a, 2l, 2, K, N]
             g = g[:, None]                           # broadcast over w
-            acc = ops.cmux(g, acc, store, p, self.keys.backend)
+            acc = ops.cmux(g, acc, store, p, keys.backend)
 
         lvl1 = ops.sample_extract(acc, 0)            # [2^a, w, N+1]
         flat = shard_batch(lvl1.reshape((1 << a) * w, p.N + 1))
-        tlwe0 = ops.keyswitch_10(flat, self.keys.ksk_mat, p)
-        fresh = ops.blind_rotate(tlwe0, self.keys.bkntt, testv, p,
-                                 self.keys.backend)
+        tlwe0 = ops.keyswitch_10(flat, keys.ksk_mat, p)
+        fresh = ops.blind_rotate(tlwe0, keys.bkntt, testv, p,
+                                 keys.backend)
         return fresh.reshape(1 << a, w, 2, p.N)
 
     # ------------------------------------------------------------------ #
-    def _settle_impl(self, vals, rams, roms):
+    def _settle_impl(self, keys, vals, rams, roms):
         vals = replicated(vals)
         ram_sel: Dict[str, jnp.ndarray] = {}
         for plan, tables in zip(self.c.levels, self._lin_tables):
-            vals = self._bootstrap_level(vals, plan, tables)
+            vals = self._bootstrap_level(keys, vals, plan, tables)
             if len(plan.not_out):
                 vals = vals.at[plan.not_out].set(u32(0) - vals[plan.not_src])
             if len(plan.copy_out):
                 vals = vals.at[plan.copy_out].set(vals[plan.copy_src])
             for name in plan.rom_reads:
-                vals, _ = self._rom_read(vals, roms, name)
+                vals, _ = self._rom_read(keys, vals, roms, name)
             for name in plan.ram_reads:
-                vals, gn = self._ram_read(vals, rams, name)
+                vals, gn = self._ram_read(keys, vals, rams, name)
                 ram_sel[name] = gn
 
         new_rams = {}
         for name, store in rams.items():
-            new_rams[name] = self._ram_write(vals, store, name, ram_sel[name])
+            new_rams[name] = self._ram_write(keys, vals, store, name,
+                                             ram_sel[name])
         return vals, new_rams
 
     def settle(self, vals, rams, roms):
-        return self._settle(vals, rams, roms)
+        return self._settle(self.keys, vals, rams, roms)
