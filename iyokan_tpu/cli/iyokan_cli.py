@@ -41,6 +41,9 @@ def _common_args(g):
     g.add_argument("--quiet", action="store_true")
     g.add_argument("--verbose", action="store_true")
     g.add_argument("--skip-reset", action="store_true")
+    g.add_argument("--dump-time-csv-prefix")
+    g.add_argument("--dump-graph-json-prefix")
+    g.add_argument("--dump-graph-dot-prefix")
     g.add_argument("--sched", choices=["topo", "ranku"], default=None,
                    help="accepted for compatibility; levelization replaces "
                         "runtime scheduling")
@@ -154,6 +157,9 @@ def main(argv=None) -> int:
         dump_prefix=args.dump_prefix,
         dump_sk=dump_sk,
         stdout_csv=args.stdout_csv,
+        dump_time_csv_prefix=args.dump_time_csv_prefix,
+        dump_graph_json_prefix=args.dump_graph_json_prefix,
+        dump_graph_dot_prefix=args.dump_graph_dot_prefix,
     )
     res = fe.make_result_packet()
     res.save(args.out)

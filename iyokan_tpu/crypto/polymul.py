@@ -168,9 +168,11 @@ def _mm_data2(x_centered: jnp.ndarray, mat_hi: jnp.ndarray,
 
 
 def _split_rc(N: int) -> Tuple[int, int]:
-    logn = int(np.log2(N))
-    r = 1 << (logn // 2)
-    return r, N // r  # (R, C), R <= C
+    """N = R*C with C = 128 where possible: the stage-1 matmul then contracts
+    a full 128-lane axis (MXU-native tile), and stage 2's small K=R matmul is
+    a negligible fraction of the work."""
+    c = min(128, N)
+    return N // c, c  # (R, C)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -232,6 +232,9 @@ class Frontend:
            dump_prefix: Optional[str] = None,
            dump_sk: Optional[host.SecretKey] = None,
            stdout_csv: bool = False,
+           dump_time_csv_prefix: Optional[str] = None,
+           dump_graph_json_prefix: Optional[str] = None,
+           dump_graph_dot_prefix: Optional[str] = None,
            on_cycle=None) -> None:
         eng = self.engine
         if num_cycles is None:
@@ -273,6 +276,25 @@ class Frontend:
 
             dt = time.time() - t0
             log.info("\tdone. (%d us)", int(dt * 1e6))
+            if dump_time_csv_prefix:
+                from . import progress
+
+                with open(f"{dump_time_csv_prefix}-{self.current_cycle}.csv",
+                          "w") as f:
+                    progress.dump_time_csv(self.compiled, self.current_cycle,
+                                           None, dt, f)
+            if dump_graph_json_prefix:
+                from . import progress
+
+                with open(f"{dump_graph_json_prefix}-{self.current_cycle}"
+                          ".json", "w") as f:
+                    progress.dump_graph_json(self.compiled, f)
+            if dump_graph_dot_prefix:
+                from . import progress
+
+                with open(f"{dump_graph_dot_prefix}-{self.current_cycle}"
+                          ".dot", "w") as f:
+                    progress.dump_graph_dot(self.compiled, f)
             if stdout_csv:
                 print(f"{time.time()},end,{self.current_cycle + 1}",
                       flush=True)

@@ -1,0 +1,256 @@
+#!/usr/bin/env python
+"""End-to-end integration driver over the reference test fixtures.
+
+Python port of the reference's test.rb (test.rb:385-548): each test runs
+  toml2packet -> [enc ->] iyokan plain|tfhe -> [dec ->] packet2toml
+and compares the normalized TOML against the golden output.
+
+Usage:
+  python tools/run_tests.py [tags...]        e.g. fast | plain | tfhe | NAME
+  --params toy|cggi128   parameter set for tfhe tests (default cggi128)
+  --repeat N             repeat the selected set N times (shuffled each run)
+  --fixtures DIR         fixture root (default /root/reference/test)
+
+Keys are generated once and cached next to the work dir.
+"""
+
+import argparse
+import os
+import random
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+FIXTURES = os.environ.get("IYOKAN_FIXTURES", "/root/reference/test")
+
+
+def sh(args):
+    """Invoke a CLI module in-process (a fresh python per command would pay
+    the jax import ~8s each; the CLIs are plain main(argv) functions)."""
+    import importlib
+
+    mod = importlib.import_module(args[0])
+    rc = mod.main(args[1:])
+    if rc not in (0, None):
+        raise RuntimeError(f"command failed ({rc}): {' '.join(args)}")
+    return ""
+
+
+class Runner:
+    def __init__(self, workdir, params):
+        self.wd = workdir
+        self.params = params
+        self.req = os.path.join(workdir, "_req")
+        self.res = os.path.join(workdir, "_res")
+        self.skey = os.path.join(workdir, "_sk")
+        self.bkey = os.path.join(workdir, "_bk")
+        self.tests = []
+
+    def fixture(self, p):
+        return os.path.join(FIXTURES, p)
+
+    def ensure_keys(self):
+        if not os.path.exists(self.skey):
+            print(f"generating keys ({self.params})...")
+            sh(["iyokan_tpu.cli.packet_cli", "genkey", "--type", "tfhepp",
+                "--params", self.params, "--out", self.skey, "--seed", "0"])
+            sh(["iyokan_tpu.cli.packet_cli", "genevalkey", "--in", self.skey,
+                "--out", self.bkey, "--seed", "1"])
+
+    # ------------------------------------------------------------------ #
+    def add(self, name, tags, fn):
+        self.tests.append({"name": name, "tags": set(tags) | {name}, "fn": fn})
+
+    def _compare(self, res_path, out_file):
+        from iyokan_tpu import packet as pm
+        from tests.fixtures import normalize
+
+        got = pm.PlainPacket.load(res_path)
+        want = pm.PlainPacket.from_toml_file(self.fixture(out_file))
+        g, w = normalize(got), normalize(want)
+        assert g == w, f"mismatch:\n got: {g}\nwant: {w}"
+
+    def add_plain(self, name, blueprint, in_file, out_file, ncycles=-1,
+                  tags=()):
+        def fn():
+            sh(["iyokan_tpu.cli.packet_cli", "toml2packet",
+                "--in", self.fixture(in_file), "--out", self.req])
+            sh(["iyokan_tpu.cli.iyokan_cli", "plain", "--quiet",
+                "--blueprint", self.fixture(blueprint),
+                "-i", self.req, "-o", self.res, "-c", str(ncycles)])
+            self._compare(self.res, out_file)
+
+        self.add("plain-" + name, set(tags) | {"plain", "fast"}, fn)
+
+    def add_tfhe(self, name, blueprint, in_file, out_file, ncycles,
+                 tags=()):
+        def fn():
+            self.ensure_keys()
+            sh(["iyokan_tpu.cli.packet_cli", "toml2packet",
+                "--in", self.fixture(in_file), "--out", self.req])
+            sh(["iyokan_tpu.cli.packet_cli", "enc", "--key", self.skey,
+                "--in", self.req, "--out", self.req])
+            sh(["iyokan_tpu.cli.iyokan_cli", "tfhe", "--quiet",
+                "--blueprint", self.fixture(blueprint),
+                "--evalkey", self.bkey,
+                "-i", self.req, "-o", self.res, "-c", str(ncycles)])
+            sh(["iyokan_tpu.cli.packet_cli", "dec", "--key", self.skey,
+                "--in", self.res, "--out", self.res])
+            self._compare(self.res, out_file)
+
+        self.add("tfhe-" + name, set(tags) | {"tfhe"}, fn)
+
+    def add_in_out(self, name, blueprint, in_file, out_file, ncycles,
+                   plain_ncycles=None, tfhe=True, plain_tags=(),
+                   tfhe_tags=()):
+        self.add_plain(name, blueprint, in_file, out_file,
+                       ncycles=(-1 if plain_ncycles is None
+                                else plain_ncycles), tags=plain_tags)
+        if tfhe:
+            self.add_tfhe(name, blueprint, in_file, out_file, ncycles,
+                          tags=tfhe_tags)
+
+    def run(self, tags, repeat):
+        sel = [t for t in self.tests
+               if all(tag in t["tags"] for tag in tags)]
+        print(f"[{len(sel)} TESTS SELECTED ({tags})] "
+              + ", ".join(t["name"] for t in sel))
+        failed = []
+        for it in range(repeat):
+            random.shuffle(sel)
+            for t in sel:
+                start = time.time()
+                print(f"Test {t['name']} running...", flush=True)
+                try:
+                    t["fn"]()
+                    print(f"Test {t['name']} done."
+                          f" ({time.time() - start:.1f} sec.)")
+                except Exception as e:  # noqa: BLE001
+                    print(f"Test {t['name']} FAILED: {e}")
+                    failed.append(t["name"])
+        return failed
+
+
+def register(r: Runner):
+    # the test.rb registry (tfhe counterparts for the short runs)
+    import tomllib
+
+    def blueprint_available(bp):
+        path = r.fixture(bp)
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            cfg = tomllib.load(f)
+        wd = os.path.dirname(path)
+        return all(
+            os.path.exists(os.path.join(wd, file["path"]))
+            for file in cfg.get("file", [])
+        )
+
+    _add_in_out = r.add_in_out
+
+    def guarded(name, bp, *a, **kw):
+        if not blueprint_available(bp):
+            print(f"(skipping {name}: fixture netlist missing from snapshot)")
+            return
+        _add_in_out(name, bp, *a, **kw)
+
+    r.add_in_out = guarded
+    r.add_in_out("cahp-diamond-00", "config-toml/cahp-diamond.toml",
+                 "in/test00.in", "out/test00-diamond.out", ncycles=8)
+    r.add_in_out("cahp-ruby-09", "config-toml/cahp-ruby.toml",
+                 "in/test09.in", "out/test09-ruby.out", ncycles=7)
+    r.add_in_out("cahp-pearl-09", "config-toml/cahp-pearl.toml",
+                 "in/test09.in", "out/test09-pearl.out", ncycles=3)
+    r.add_in_out("cahp-diamond-mux-00", "config-toml/cahp-diamond-mux.toml",
+                 "in/test00.in", "out/test00-diamond.out", ncycles=8)
+    r.add_in_out("cahp-ruby-mux-09", "config-toml/cahp-ruby-mux.toml",
+                 "in/test09.in", "out/test09-ruby.out", ncycles=7)
+    r.add_in_out("cahp-pearl-mux-09", "config-toml/cahp-pearl-mux.toml",
+                 "in/test09.in", "out/test09-pearl.out", ncycles=3)
+    r.add_in_out("cahp-diamond-01", "config-toml/cahp-diamond.toml",
+                 "in/test01.in", "out/test01-diamond.out", ncycles=346,
+                 tfhe=False)
+    r.add_in_out("cahp-ruby-10", "config-toml/cahp-ruby.toml",
+                 "in/test10.in", "out/test10-ruby.out", ncycles=362,
+                 tfhe=False)
+    r.add_in_out("cahp-pearl-10", "config-toml/cahp-pearl.toml",
+                 "in/test10.in", "out/test10-pearl.out", ncycles=264,
+                 tfhe=False)
+    r.add_in_out("cahp-ruby-mux-1KiB-11", "config-toml/cahp-ruby-mux-1KiB.toml",
+                 "in/test11.in", "out/test11.out", ncycles=7, tfhe=False)
+    r.add_in_out("const-4bit-22", "config-toml/const-4bit.toml",
+                 "in/test22.in", "out/test22.out", ncycles=1, plain_ncycles=1,
+                 tfhe_tags=("tfhe-fast",))
+    r.add_in_out("addr-4bit-04", "config-toml/addr-4bit.toml",
+                 "in/test04.in", "out/test04.out", ncycles=1, plain_ncycles=1,
+                 tfhe_tags=("tfhe-fast",))
+    r.add_in_out("pass-addr-pass-4bit-04", "config-toml/pass-addr-pass-4bit.toml",
+                 "in/test04.in", "out/test04.out", ncycles=1, plain_ncycles=1)
+    r.add_in_out("addr-register-4bit-16", "config-toml/addr-register-4bit.toml",
+                 "in/test16.in", "out/test16.out", ncycles=3, plain_ncycles=3,
+                 tfhe_tags=("tfhe-fast",))
+    r.add_in_out("div-8bit-05", "config-toml/div-8bit.toml",
+                 "in/test05.in", "out/test05.out", ncycles=1, plain_ncycles=1)
+    r.add_in_out("ram-addr8bit-06", "config-toml/ram-addr8bit.toml",
+                 "in/test06.in", "out/test06.out", ncycles=16,
+                 plain_ncycles=16)
+    r.add_in_out("ram-addr9bit-07", "config-toml/ram-addr9bit.toml",
+                 "in/test07.in", "out/test07.out", ncycles=16,
+                 plain_ncycles=16)
+    r.add_in_out("mux-ram-addr8bit-06", "config-toml/mux-ram-addr8bit.toml",
+                 "in/test06.in", "out/test06.out", ncycles=16,
+                 plain_ncycles=16)
+    r.add_in_out("mux-ram-addr9bit-07", "config-toml/mux-ram-addr9bit.toml",
+                 "in/test07.in", "out/test07.out", ncycles=16,
+                 plain_ncycles=16, tfhe=False)
+    r.add_in_out("ram-8-16-16-08", "config-toml/ram-8-16-16.toml",
+                 "in/test08.in", "out/test08.out", ncycles=8, plain_ncycles=8)
+    r.add_in_out("mux-ram-8-16-16-08", "config-toml/mux-ram-8-16-16.toml",
+                 "in/test08.in", "out/test08.out", ncycles=8, plain_ncycles=8)
+    r.add_in_out("rom-7-32-12", "config-toml/rom-7-32.toml",
+                 "in/test12.in", "out/test12.out", ncycles=1, plain_ncycles=1,
+                 tfhe_tags=("tfhe-fast",))
+    r.add_in_out("rom-4-8-15", "config-toml/rom-4-8.toml",
+                 "in/test15.in", "out/test15.out", ncycles=1, plain_ncycles=1)
+    r.add_in_out("counter-4bit-13", "config-toml/counter-4bit.toml",
+                 "in/test13.in", "out/test13.out", ncycles=3, plain_ncycles=3,
+                 tfhe_tags=("tfhe-fast",))
+    r.add_in_out("cahp-ruby-14", "config-toml/cahp-ruby.toml",
+                 "in/test14.in", "out/test14.out", ncycles=20,
+                 plain_ncycles=20, tfhe=False)
+    r.add_in_out("cahp-ruby-iyokanl1-09", "config-toml/cahp-ruby-iyokanl1.toml",
+                 "in/test09.in", "out/test09-ruby.out", ncycles=-1,
+                 tfhe=False)
+    r.add_in_out("dff-reset-23", "config-toml/dff-reset.toml",
+                 "in/test23.in", "out/test23.out", ncycles=1, plain_ncycles=1,
+                 tfhe_tags=("tfhe-fast",))
+    r.add_in_out("big-mult-21", "config-toml/big-mult.toml",
+                 "in/test21.in", "out/test21.out", ncycles=1, plain_ncycles=1,
+                 tfhe=False)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("tags", nargs="*", default=[])
+    ap.add_argument("--params", default="cggi128")
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    wd = args.workdir or tempfile.mkdtemp(prefix="iyokan-tests-")
+    os.makedirs(wd, exist_ok=True)
+    r = Runner(wd, args.params)
+    register(r)
+    failed = r.run(args.tags, args.repeat)
+    if failed:
+        print("FAILED:", ", ".join(failed))
+        sys.exit(1)
+    print("ALL PASSED")
+
+
+if __name__ == "__main__":
+    main()
