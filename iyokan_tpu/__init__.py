@@ -26,11 +26,12 @@ Subpackages:
 """
 
 # The circuit-bootstrapping path (reference src/iyokan_tfhepp.hpp:194-236)
-# runs on a 64-bit torus (TFHEpp lvl2); enable 64-bit types before any JAX
-# arrays are created.  All dtypes in this package are explicit, so the change
-# of *defaults* does not affect numerics elsewhere.
+# runs on a 64-bit torus (TFHEpp lvl2).  All dtypes in this package are
+# explicit, so instead of the global x64 flag (which changes default dtypes
+# AND breaks Mosaic/Pallas lowering with 64-bit index types) we only allow
+# explicitly-requested 64-bit dtypes.
 import jax
 
-jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_explicit_x64_dtypes", "allow")
 
 __version__ = "0.1.0"

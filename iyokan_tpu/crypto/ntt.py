@@ -76,7 +76,8 @@ def tables(N: int) -> dict:
 def ntt_fwd(x: jnp.ndarray, N: int, pi: int) -> jnp.ndarray:
     """Forward negacyclic NTT; x int64 [..., N] in [0, p); bit-reversed output."""
     p = PRIMES[pi]
-    psirev = jnp.asarray(tables(N)["psirev"][pi])
+    psirev = jnp.asarray(tables(N)["psirev"][pi], jnp.int64)
+    x = x.astype(jnp.int64)
     lead = x.shape[:-1]
     m = 1
     while m < N:
@@ -94,8 +95,9 @@ def ntt_inv(x: jnp.ndarray, N: int, pi: int) -> jnp.ndarray:
     """Inverse negacyclic NTT; consumes bit-reversed input, natural output."""
     p = PRIMES[pi]
     tab = tables(N)
-    psiinvrev = jnp.asarray(tab["psiinvrev"][pi])
+    psiinvrev = jnp.asarray(tab["psiinvrev"][pi], jnp.int64)
     ninv = int(tab["ninv"][pi])
+    x = x.astype(jnp.int64)
     lead = x.shape[:-1]
     m = N
     while m > 1:
@@ -118,9 +120,17 @@ def to_residues(x_signed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 def crt_center(r1: jnp.ndarray, r2: jnp.ndarray) -> jnp.ndarray:
     """CRT-reconstruct the centered integer in (-P1P2/2, P1P2/2), int64."""
-    diff = (r2 - r1) % P2
-    x = r1 + P1 * ((diff * _INV_P1_MOD_P2) % P2)  # in [0, P1P2)
-    return x - jnp.where(x >= P1P2 // 2, jnp.int64(P1P2), jnp.int64(0))
+    r1 = r1.astype(jnp.int64)
+    r2 = r2.astype(jnp.int64)
+    diff = (r2 - r1) % np.int64(P2)
+    t = (diff.astype(jnp.int64) * np.int64(_INV_P1_MOD_P2)) % np.int64(P2)
+    x = r1.astype(jnp.int64) + np.int64(P1) * t   # in [0, P1P2)
+    # NB: 64-bit constants only survive as 0-d numpy arrays with an explicit
+    # dtype -- jnp scalar constructors and numpy scalars truncate to 32 bits
+    # when x64 defaults are off.
+    big = jnp.asarray(np.array(P1P2 // 2, np.int64), jnp.int64)
+    pp = jnp.asarray(np.array(P1P2, np.int64), jnp.int64)
+    return x - (x >= big).astype(jnp.int64) * pp
 
 
 def negacyclic_mul_exact_u32(digits: jnp.ndarray, other_u32: jnp.ndarray,

@@ -30,6 +30,7 @@ import numpy as np
 from .. import gates
 from ..params import Params
 from . import ntt, polymul
+from .polymul import c64
 from .host import EvalKey
 
 u32 = jnp.uint32
@@ -63,11 +64,11 @@ def decompose1(x: jnp.ndarray, p: Params) -> jnp.ndarray:
 def decompose2(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     """Signed gadget decomposition, 64-bit torus: u64 [..., 2, N2] -> int32."""
     offset = sum((p.Bg2 // 2) << (64 - (j + 1) * p.Bgbit2) for j in range(p.l2))
-    xp = x + u64(offset & 0xFFFFFFFFFFFFFFFF)
+    xp = x + c64(offset)
     outs = []
     for j in range(p.l2):
         shift = 64 - (j + 1) * p.Bgbit2
-        d = ((xp >> u64(shift)) & u64(p.Bg2 - 1)).astype(jnp.int32) - p.Bg2 // 2
+        d = ((xp >> np.uint64(shift)) & np.uint64(p.Bg2 - 1)).astype(jnp.int32) - p.Bg2 // 2
         outs.append(d)
     dig = jnp.stack(outs, axis=-3)
     dig = jnp.moveaxis(dig, -3, -2)
@@ -129,6 +130,8 @@ def _nega_roll(poly: jnp.ndarray, s: int, N: int) -> jnp.ndarray:
     """X^s * poly for a static s in [1, N]: wrap-around goes in negated."""
     if s == 0:
         return poly
+    if s == N:                      # X^N = -1
+        return jnp.zeros((), poly.dtype) - poly
     lo = jnp.zeros((), poly.dtype) - poly[..., N - s :]
     return jnp.concatenate([lo, poly[..., : N - s]], axis=-1)
 
@@ -191,7 +194,7 @@ def _ks_digits(a: jnp.ndarray, t: int, basebit: int, width: int) -> jnp.ndarray:
         off = (1 << (64 - prec - 1)) + sum(
             (base // 2) << (64 - (j + 1) * basebit) for j in range(t)
         )
-        xp = a + u64(off & 0xFFFFFFFFFFFFFFFF)
+        xp = a + c64(off)
         shifts = [64 - (j + 1) * basebit for j in range(t)]
         cast = u64
     ds = [
@@ -268,6 +271,13 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
     amounts differ per row.  This is the TPU-native inversion of the
     reference's one-bootstrap-per-task design.
     """
+    import os as _os
+
+    if _os.environ.get("IYOKAN_BR_IMPL") == "pallas":
+        from ..ops.pallas_br import blind_rotate_pallas
+
+        return blind_rotate_pallas(tlwe0, bk_prep, testv, p)
+
     be = backend or polymul.get_backend()
     G = tlwe0.shape[0]
     abar = _modswitch(tlwe0[:, : p.n], p.logN)           # [G, n]
@@ -347,7 +357,7 @@ def privks(tlwe2: jnp.ndarray, pksk_mat: jnp.ndarray, part: int,
     d = d.reshape(*d.shape[:-2], p.N2 * p.pks_t)
     acc = matmul_mod32(d, pksk_mat, limb_bits=6)         # [..., 2N]
     out = (u32(0) - acc).reshape(*acc.shape[:-1], 2, p.N)
-    b32 = ((b + u64(1 << 31)) >> u64(32)).astype(u32)
+    b32 = ((b + c64(1 << 31)) >> np.uint64(32)).astype(u32)
     # trivial realization of f(b): f1 -> b-part const, f0 -> a-part const
     return out.at[..., part, 0].add(b32)
 
@@ -368,11 +378,11 @@ def circuit_bootstrap(tlwe0: jnp.ndarray, bk2_prep: jnp.ndarray,
     rows = []
     parts = {0: [], 1: []}
     for j in range(1, p.l + 1):
-        muj = np.uint64(1 << (64 - j * p.Bgbit - 1))
-        testv = jnp.full((p.N2,), u64(muj))
+        muj = c64(1 << (64 - j * p.Bgbit - 1))
+        testv = jnp.full((p.N2,), muj, jnp.uint64)
         acc2 = blind_rotate2(tlwe0, bk2_prep, testv, p, backend)
         tl2 = sample_extract2(acc2, 0)
-        tl2 = tl2.at[..., p.N2].add(u64(muj))
+        tl2 = tl2.at[..., p.N2].add(muj)
         for part in (0, 1):
             parts[part].append(privks(tl2, pksk_mats[part], part, p))
     # rows: part-major (part 0 digits then part 1 digits)
@@ -414,7 +424,7 @@ class DeviceKeys:
 
         if with_cb:
             bk2ntt = jax.jit(lambda bk2: be.prep2(bk2, p))(
-                jnp.asarray(ek.bk2)
+                jnp.asarray(ek.bk2, u64)
             )
             pk = ek.pksk  # u32 [2, N2, t, 2, N]
             mats = tuple(

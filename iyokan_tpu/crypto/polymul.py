@@ -55,6 +55,17 @@ u64 = jnp.uint64
 i32 = jnp.int32
 f32 = jnp.float32
 
+
+def c64(v: int) -> jnp.ndarray:
+    """64-bit unsigned constant as a 0-d array.
+
+    Without global x64, jnp scalar constructors and numpy scalars silently
+    truncate 64-bit values to 32 bits; 0-d numpy arrays with an explicit
+    dtype convert correctly.
+    """
+    return jnp.asarray(np.array(v & 0xFFFFFFFFFFFFFFFF, np.uint64),
+                       jnp.uint64)
+
 # lvl1 transforms need 2N = 2048 | p-1; lvl2 needs 4096 | p-1.
 PRIMES1 = (12289, 18433)
 PRIMES2 = (12289, 40961, 61441)
@@ -178,18 +189,16 @@ def _split_rc(N: int) -> Tuple[int, int]:
 @dataclasses.dataclass(frozen=True)
 class _PrimeTab:
     p: int
-    # forward: stage1 [C, C] limbs, twiddle [R, C], stage2 [R, R] limbs
-    w1_hi: np.ndarray
-    w1_lo: np.ndarray
+    # forward: stage1 scalar table [R, R], twiddle [R, C], stage2 [C, C] limbs
+    w1: np.ndarray
     t: np.ndarray
     w2_hi: np.ndarray
     w2_lo: np.ndarray
-    # inverse: stage1 [R, R] limbs, twiddle [R, C], stage2 [C, C] limbs
-    iw2_hi: np.ndarray
-    iw2_lo: np.ndarray
-    it: np.ndarray
+    # inverse: stage1 [C, C] limbs, twiddle [R, C], stage2 scalar table [R, R]
     iw1_hi: np.ndarray
     iw1_lo: np.ndarray
+    it: np.ndarray
+    iw2: np.ndarray
 
 
 def _centered(v: int, p: int) -> int:
@@ -199,6 +208,24 @@ def _centered(v: int, p: int) -> int:
 
 @functools.lru_cache(maxsize=None)
 def tables(N: int, primes: Tuple[int, ...]) -> Tuple[_PrimeTab, ...]:
+    """Transpose-free 4-step tables.
+
+    Coefficient layout: poly index i = r*C + c viewed as [R, C] (natural
+    reshape, C = 128 lanes).  NTT-domain layout: slot (q, s) stores frequency
+    k = s*R + q, also as [R, C] -- only ever flattened with its own natural
+    reshape.  Derivation (w = psi^2, w_R = w^C, w_C = w^R):
+
+      fwd:  U[q,c] = sum_r A[r,c] * W1[r,q],  W1[r,q] = w_R^{rq} * psi^{rC}
+            V[q,c] = U[q,c] * T[q,c],         T[q,c]  = w^{cq} * psi^{c}
+            X[q,s] = sum_c V[q,c] * W2[c,s],  W2[c,s] = w_C^{cs}
+      inv:  T1[q,c] = sum_s X[q,s] * iW1[s,c],  iW1[s,c] = w_C^{-sc}
+            T2[q,c] = T1[q,c] * iT[q,c],        iT[q,c] = w^{-cq} psi^{-c}/N
+            A[r,c]  = sum_q T2[q,c] * iW2[q,r], iW2[q,r] = w_R^{-qr} psi^{-rC}
+
+    Every contraction maps to a plain matmul on the existing layout: no
+    transposes, no reordering -- important both for XLA fusion and for the
+    Pallas kernel where relayouts are expensive.
+    """
     R, C = _split_rc(N)
     out = []
     for p in primes:
@@ -215,84 +242,98 @@ def tables(N: int, primes: Tuple[int, ...]) -> Tuple[_PrimeTab, ...]:
         iwr = pow(wr, p - 2, p)
         ninv = pow(N, p - 2, p)
 
-        # forward stage1: W1[c, s] = psi^(cR) * wc^(cs)
         w1 = np.array(
-            [[_centered(pow(psi, c * R, p) * pow(wc, c * s, p), p)
-              for s in range(C)] for c in range(C)], np.int64)
-        # forward twiddle: T[r, s] = psi^r * w^(rs)
+            [[_centered(pow(wr, r * q, p) * pow(psi, r * C, p), p)
+              for q in range(R)] for r in range(R)], np.int64)
         t = np.array(
-            [[_centered(pow(psi, r, p) * pow(w, r * s, p), p)
-              for s in range(C)] for r in range(R)], np.int64)
-        # forward stage2: W2[r, q] = wr^(rq)
+            [[_centered(pow(w, c * q, p) * pow(psi, c, p), p)
+              for c in range(C)] for q in range(R)], np.int64)
         w2 = np.array(
-            [[_centered(pow(wr, r * q, p), p) for q in range(R)]
-             for r in range(R)], np.int64)
+            [[_centered(pow(wc, c * s, p), p) for s in range(C)]
+             for c in range(C)], np.int64)
 
-        # inverse stage1 (contract q): iW2[q, r] = iwr^(qr)
-        iw2 = np.array(
-            [[_centered(pow(iwr, q * r, p), p) for r in range(R)]
-             for q in range(R)], np.int64)
-        # inverse twiddle: iT[r, s] = ipsi^r * iw^(rs)
-        it = np.array(
-            [[_centered(pow(ipsi, r, p) * pow(iw, r * s, p), p)
-              for s in range(C)] for r in range(R)], np.int64)
-        # inverse stage2 (contract s): iW1[s, c] = ninv * ipsi^(cR) * iwc^(cs)
         iw1 = np.array(
-            [[_centered(ninv * pow(ipsi, c * R, p) * pow(iwc, c * s, p), p)
-              for c in range(C)] for s in range(C)], np.int64)
+            [[_centered(pow(iwc, s * c, p), p) for c in range(C)]
+             for s in range(C)], np.int64)
+        it = np.array(
+            [[_centered(pow(iw, c * q, p) * pow(ipsi, c, p) * ninv, p)
+              for c in range(C)] for q in range(R)], np.int64)
+        iw2 = np.array(
+            [[_centered(pow(iwr, q * r, p) * pow(ipsi, r * C, p), p)
+              for r in range(R)] for q in range(R)], np.int64)
 
-        w1h, w1l = _limbs_i8(w1)
         w2h, w2l = _limbs_i8(w2)
-        iw2h, iw2l = _limbs_i8(iw2)
         iw1h, iw1l = _limbs_i8(iw1)
         out.append(_PrimeTab(
-            p, w1h, w1l, t.astype(np.int32), w2h, w2l,
-            iw2h, iw2l, it.astype(np.int32), iw1h, iw1l,
+            p, w1.astype(np.int64), t.astype(np.int32), w2h, w2l,
+            iw1h, iw1l, it.astype(np.int32), iw2.astype(np.int64),
         ))
     return tuple(out)
 
 
-def _fwd(x: jnp.ndarray, N: int, tab: _PrimeTab,
-         small_input: bool) -> jnp.ndarray:
-    """Negacyclic NTT, x int32 [..., N] -> centered residues [..., N].
+def _stage_small(x: jnp.ndarray, mat: np.ndarray, p: int,
+                 in_bound: int) -> jnp.ndarray:
+    """out[..., q, c] = sum_r x[..., r, c] * mat[r, q], centered-reduced.
 
-    small_input=True: |x| <= 127 (gadget digits) -> single-limb first matmul.
-    Output index k = q*C + s.
+    The contraction length R is tiny (8/16), so this unrolls into scalar
+    multiply-adds on the VPU: i32 products of centered residues are exact,
+    no limb splitting needed.  in_bound bounds |x| for overflow chunking.
+    """
+    R = mat.shape[0]
+    max_term = in_bound * (p // 2 + 1)
+    chunk = max(1, (1 << 31) // max_term - 1)
+    outs = []
+    for q in range(R):
+        acc = None
+        pending = 0
+        for r in range(R):
+            m = int(mat[r, q])
+            if m == 0:
+                continue
+            term = x[..., r, :] * np.int32(m)
+            acc = term if acc is None else acc + term
+            pending += 1
+            if pending >= chunk:
+                acc = center_reduce(acc, p)
+                pending = 0
+        outs.append(center_reduce(acc, p))
+    return jnp.stack(outs, axis=-2)
+
+
+def _fwd(x: jnp.ndarray, N: int, tab: _PrimeTab, small_input: bool,
+         consts=None) -> jnp.ndarray:
+    """Negacyclic NTT, x int32 [..., N] -> centered residues [..., N]
+    (NTT-domain slot (q, s) = flat index q*C+s holds frequency s*R+q).
+
+    consts: optional (t, w2_hi, w2_lo) jnp values -- Pallas kernels must pass
+    the tables as inputs rather than captured constants.
     """
     R, C = _split_rc(N)
     p = tab.p
     lead = x.shape[:-1]
-    a = x.reshape(*lead, C, R)
-    a = jnp.swapaxes(a, -1, -2)                       # [.., R, C] (A[r, c])
-    if small_input:
-        y = center_reduce(
-            (_mm(a, jnp.asarray(tab.w1_hi)) << 8)
-            + _mm(a, jnp.asarray(tab.w1_lo)), p,
-        )
-    else:
-        y = _mm_data2(a, jnp.asarray(tab.w1_hi), jnp.asarray(tab.w1_lo), p)
-    y = center_reduce(y * jnp.asarray(tab.t), p)      # [.., R, C]
-    # stage2 contracts r: Z[q, s] = sum_r W2[r, q] * Y[r, s]
-    yt = jnp.swapaxes(y, -1, -2)                      # [.., C(s), R(r)]
-    z = _mm_data2(yt, jnp.asarray(tab.w2_hi), jnp.asarray(tab.w2_lo), p)
-    z = jnp.swapaxes(z, -1, -2)                       # [.., R(q), C(s)]
+    a = x.reshape(*lead, R, C)
+    in_bound = 128 if small_input else p // 2 + 1
+    t, w2h, w2l = consts if consts is not None else (
+        jnp.asarray(tab.t), jnp.asarray(tab.w2_hi), jnp.asarray(tab.w2_lo)
+    )
+    u = _stage_small(a, tab.w1, p, in_bound)
+    v = center_reduce(u * t, p)                       # [.., q, c]
+    z = _mm_data2(v, w2h, w2l, p)
     return z.reshape(*lead, N)
 
 
-def _inv(x: jnp.ndarray, N: int, tab: _PrimeTab) -> jnp.ndarray:
-    """Inverse negacyclic NTT; input index k = q*C + s, output coeffs."""
+def _inv(x: jnp.ndarray, N: int, tab: _PrimeTab, consts=None) -> jnp.ndarray:
+    """Inverse negacyclic NTT; consumes the _fwd slot layout."""
     R, C = _split_rc(N)
     p = tab.p
     lead = x.shape[:-1]
     z = x.reshape(*lead, R, C)                        # [.., q, s]
-    # stage1 contracts q: U[r, s] = sum_q Z[q, s] * iW2[q, r]
-    zt = jnp.swapaxes(z, -1, -2)                      # [.., s, q]
-    uu = _mm_data2(zt, jnp.asarray(tab.iw2_hi), jnp.asarray(tab.iw2_lo), p)
-    uu = jnp.swapaxes(uu, -1, -2)                     # [.., r, s]
-    v = center_reduce(uu * jnp.asarray(tab.it), p)
-    # stage2 contracts s: A[r, c] = sum_s V[r, s] * iW1[s, c]
-    a = _mm_data2(v, jnp.asarray(tab.iw1_hi), jnp.asarray(tab.iw1_lo), p)
-    a = jnp.swapaxes(a, -1, -2)                       # [.., c, r]
+    iw1h, iw1l, it = consts if consts is not None else (
+        jnp.asarray(tab.iw1_hi), jnp.asarray(tab.iw1_lo), jnp.asarray(tab.it)
+    )
+    t1 = _mm_data2(z, iw1h, iw1l, p)
+    t2 = center_reduce(t1 * it, p)                    # [.., q, c]
+    a = _stage_small(t2, tab.iw2, p, p // 2 + 1)
     return a.reshape(*lead, N)
 
 
@@ -335,7 +376,7 @@ class MXUBackend:
             for pi, tab in enumerate(tabs):
                 g = prep[..., :, :, pi * 4 + l, :]     # [..., RR, 2, N]
                 prod = dn[pi][..., :, None, :] * g     # int32, |.| < 2^29.4
-                s = center_reduce(prod.sum(axis=-3), tab.p)
+                s = center_reduce(prod.sum(axis=-3, dtype=i32), tab.p)
                 res.append(_inv(s, p.N, tab))
             # 2-prime CRT, all int32
             d = res[1] - res[0]
@@ -352,7 +393,7 @@ class MXUBackend:
         outs = []
         for tab in tabs:
             for l in range(8):
-                limb = ((rows_u64 >> u64(8 * l)) & u64(0xFF)).astype(i32)
+                limb = ((rows_u64 >> np.uint64(8 * l)) & np.uint64(0xFF)).astype(i32)
                 outs.append(_fwd(limb, p.N2, tab, small_input=False))
         return jnp.stack(outs, axis=-2)
 
@@ -376,7 +417,7 @@ class MXUBackend:
                 rr = prod.shape[-3]
                 s = None
                 for j0 in range(0, rr, chunk):
-                    part = prod[..., j0 : j0 + chunk, :, :].sum(axis=-3)
+                    part = prod[..., j0 : j0 + chunk, :, :].sum(axis=-3, dtype=i32)
                     s = part if s is None else s + part
                     s = center_reduce(s, tab.p)
                 res.append(_inv(s, p.N2, tab))
@@ -387,7 +428,7 @@ class MXUBackend:
             d3 = res[2] - center_reduce(c12, p3)
             t3 = center_reduce(d3 * np.int32(ip12), p3)
             c = c12 + np.int32(p1 * p2) * t3
-            term = c.astype(i32).astype(jnp.int64).astype(u64) << u64(8 * l)
+            term = c.astype(i32).astype(jnp.int64).astype(u64) << np.uint64(8 * l)
             acc = term if acc is None else acc + term
         return acc
 
@@ -415,8 +456,8 @@ class CRT64Backend:
         return crt64ntt.crt_center(outs[0], outs[1]).astype(u32)
 
     def prep2(self, rows_u64: jnp.ndarray, p: Params) -> jnp.ndarray:
-        lo = (rows_u64 & u64(0xFFFFFFFF)).astype(jnp.int64)
-        hi = (rows_u64 >> u64(32)).astype(jnp.int64)
+        lo = (rows_u64 & c64(0xFFFFFFFF)).astype(jnp.int64)
+        hi = (rows_u64 >> np.uint64(32)).astype(jnp.int64)
         halves = jnp.stack([lo, hi], axis=-2)         # [..., RR, 2, 2, N2]
         outs = []
         for pi, prime in enumerate(crt64ntt.PRIMES):
@@ -438,7 +479,7 @@ class CRT64Backend:
                 s = prod.sum(axis=-3) % prime
                 outs.append(crt64ntt.ntt_inv(s, p.N2, pi))
             halves.append(crt64ntt.crt_center(outs[0], outs[1]))
-        return halves[0].astype(u64) + (halves[1].astype(u64) << u64(32))
+        return halves[0].astype(u64) + (halves[1].astype(u64) << np.uint64(32))
 
 
 _BACKENDS = {"mxu": MXUBackend(), "crt64": CRT64Backend()}
