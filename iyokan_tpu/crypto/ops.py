@@ -273,10 +273,15 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
     """
     import os as _os
 
-    if _os.environ.get("IYOKAN_BR_IMPL") == "pallas":
+    impl = _os.environ.get("IYOKAN_BR_IMPL")
+    if impl == "pallas":
         from ..ops.pallas_br import blind_rotate_pallas
 
         return blind_rotate_pallas(tlwe0, bk_prep, testv, p)
+    if impl == "pallas2":
+        from ..ops.pallas_br2 import blind_rotate_pallas2
+
+        return blind_rotate_pallas2(tlwe0, bk_prep, testv, p)
 
     be = backend or polymul.get_backend()
     G = tlwe0.shape[0]

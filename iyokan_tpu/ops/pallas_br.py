@@ -145,15 +145,21 @@ def _step_call(p: Params, G: int, BG: int):
         out_specs=pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 2, p.N), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=bool(os.environ.get("IYOKAN_PALLAS_INTERPRET")),
     )
 
 
 def blind_rotate_pallas(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray,
                         testv: jnp.ndarray, p: Params,
-                        block_g: int = 64) -> jnp.ndarray:
+                        block_g: int = None) -> jnp.ndarray:
     """Drop-in replacement for ops.blind_rotate on TPU (lvl1)."""
     from ..crypto import ops as cops
+
+    if block_g is None:
+        block_g = int(os.environ.get("IYOKAN_PALLAS_BG", "64"))
 
     G = tlwe0.shape[0]
     BG = min(block_g, G)
