@@ -57,9 +57,12 @@ def _kernel(abar_ref, acc0_ref, tfw_ref, w2h_ref, w2l_ref,
         dma(i, slot).wait()
         g_step = bk_buf[slot]                   # [2l, 2, 8, N] i32
 
-        r = abar_ref[:, i][:, None]             # [BG, 1]
+        skip = int(os.environ.get("IYOKAN_BR_SKIP", "0"))
+        r = abar_ref[i, :][:, None]             # [BG, 1]
         rot = _rot(acc, jnp.broadcast_to(r, (acc.shape[0], 2)), p.N)
         d = _decompose1(rot - acc, p)
+        if skip >= 3:   # rot+decompose only
+            return acc + d[:, :2, :].astype(u32)
 
         dn = [
             polymul._fwd(
@@ -68,6 +71,8 @@ def _kernel(abar_ref, acc0_ref, tfw_ref, w2h_ref, w2l_ref,
             )
             for pi, tab in enumerate(tabs)
         ]
+        if skip >= 2:   # + fwd NTT only
+            return acc + (dn[0] + dn[1])[:, :2, :].astype(u32)
         total = acc
         for l in range(4):
             res = []
@@ -75,10 +80,13 @@ def _kernel(abar_ref, acc0_ref, tfw_ref, w2h_ref, w2l_ref,
                 g = g_step[:, :, pi * 4 + l, :]
                 prod = dn[pi][:, :, None, :] * g
                 s = center_reduce(prod.sum(axis=1, dtype=i32), tab.p)
-                res.append(polymul._inv(
-                    s, p.N, tab,
-                    consts=(iw1h_ref[pi], iw1l_ref[pi], tinv_ref[pi]),
-                ))
+                if skip >= 1:   # + pointwise, no inverse NTT
+                    res.append(s)
+                else:
+                    res.append(polymul._inv(
+                        s, p.N, tab,
+                        consts=(iw1h_ref[pi], iw1l_ref[pi], tinv_ref[pi]),
+                    ))
             dd = res[1] - res[0]
             t = center_reduce(dd * np.int32(ip1), p2)
             c = res[0] + np.int32(p1) * t
@@ -102,7 +110,7 @@ def _call(p: Params, G: int, BG: int):
         kernel,
         grid=(G // BG,),
         in_specs=[
-            pl.BlockSpec((BG, p.n), lambda g: (g, 0),
+            pl.BlockSpec((p.n, BG), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -151,5 +159,5 @@ def blind_rotate_pallas2(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray,
     )
     acc0 = jnp.stack([jnp.zeros((Gp, p.N), u32), acc_b], axis=1)
 
-    out = _call(p, Gp, BG)(abar, acc0, *_step_tables(p), bk_prep)
+    out = _call(p, Gp, BG)(abar.T, acc0, *_step_tables(p), bk_prep)
     return out[:G]
