@@ -67,8 +67,16 @@ def c64(v: int) -> jnp.ndarray:
                        jnp.uint64)
 
 # lvl1 transforms need 2N = 2048 | p-1; lvl2 needs 4096 | p-1.
-PRIMES1 = (12289, 18433)
+# The lvl1 product covers the full conv range (6 * 32 * 2^32 * 1024 < 2^47
+# << p1p2p3p4 / 2 ~ 2^58), so TRGSW rows enter whole -- no limb splitting --
+# and the CRT recombines directly mod 2^32 via Garner's mixed radix.
+PRIMES1 = (12289, 18433, 40961, 59393)
 PRIMES2 = (12289, 40961, 61441)
+
+
+def _pointwise_chunk(p: int) -> int:
+    """Max j-terms whose centered products can accumulate in int32."""
+    return max(1, (1 << 31) // ((p // 2 + 1) ** 2) - 1)
 
 _MM_DTYPE = jnp.int8 if os.environ.get("IYOKAN_MM_INT8") else jnp.bfloat16
 _MM_ACC = jnp.int32 if _MM_DTYPE == jnp.int8 else jnp.float32
@@ -271,6 +279,66 @@ def tables(N: int, primes: Tuple[int, ...]) -> Tuple[_PrimeTab, ...]:
     return tuple(out)
 
 
+def garner_mod32(res, primes) -> jnp.ndarray:
+    """Mixed-radix CRT directly mod 2^32 (never forms the big integer).
+
+    res[k]: centered residues mod primes[k] (int32).  Garner digits t_k are
+    small; the value c = t_0 + p_0 t_1 + p_0 p_1 t_2 + ... is accumulated
+    with wrap-around u32 arithmetic, which is exactly c mod 2^32.
+    """
+    K = len(primes)
+    ts = [res[0]]
+    for k in range(1, K):
+        pk = primes[k]
+        # c_{k-1} mod p_k = sum_j (prod_{m<j} p_m mod p_k) * t_j
+        cm = center_reduce(ts[0], pk)
+        P = 1
+        for j in range(1, k):
+            P = (P * primes[j - 1]) % pk
+            cm = center_reduce(
+                cm + center_reduce(ts[j] * np.int32(_centered(P, pk)), pk), pk
+            )
+        Pfull = 1
+        for m in range(k):
+            Pfull = (Pfull * primes[m]) % pk
+        inv = _centered(pow(Pfull, pk - 2, pk), pk)
+        ts.append(center_reduce((res[k] - cm) * np.int32(inv), pk))
+
+    out = ts[0].astype(u32)
+    P32 = 1
+    for k in range(1, K):
+        P32 = (P32 * primes[k - 1]) & 0xFFFFFFFF
+        out = out + u32(P32) * ts[k].astype(u32)
+    return out
+
+
+def garner_mod64(res, primes) -> jnp.ndarray:
+    """Mixed-radix CRT mod 2^64 (same digits as garner_mod32)."""
+    K = len(primes)
+    ts = [res[0]]
+    for k in range(1, K):
+        pk = primes[k]
+        cm = center_reduce(ts[0], pk)
+        P = 1
+        for j in range(1, k):
+            P = (P * primes[j - 1]) % pk
+            cm = center_reduce(
+                cm + center_reduce(ts[j] * np.int32(_centered(P, pk)), pk), pk
+            )
+        Pfull = 1
+        for m in range(k):
+            Pfull = (Pfull * primes[m]) % pk
+        inv = _centered(pow(Pfull, pk - 2, pk), pk)
+        ts.append(center_reduce((res[k] - cm) * np.int32(inv), pk))
+
+    out = ts[0].astype(jnp.int64).astype(u64)
+    P64 = 1
+    for k in range(1, K):
+        P64 = (P64 * primes[k - 1]) & 0xFFFFFFFFFFFFFFFF
+        out = out + c64(P64) * ts[k].astype(jnp.int64).astype(u64)
+    return out
+
+
 def _stage_small(x: jnp.ndarray, mat: np.ndarray, p: int,
                  in_bound: int) -> jnp.ndarray:
     """out[..., q, c] = sum_r x[..., r, c] * mat[r, q], centered-reduced.
@@ -349,86 +417,81 @@ class MXUBackend:
 
     # -------------------------- lvl1 (u32) ----------------------------- #
     def prep1(self, rows_u32: jnp.ndarray, p: Params) -> jnp.ndarray:
-        """rows u32 [..., RR, 2, N] -> centered NTT limb residues
-        int32 [..., RR, 2, P1*4, N]."""
+        """rows u32 [..., RR, 2, N] -> centered NTT residues
+        int32 [..., RR, 2, P1, N] (whole rows reduced mod each prime)."""
         tabs = tables(p.N, PRIMES1)
         outs = []
-        for pi, tab in enumerate(tabs):
-            for l in range(4):
-                limb = ((rows_u32 >> u32(8 * l)) & u32(0xFF)).astype(i32)
-                outs.append(_fwd(limb, p.N, tab, small_input=False))
+        for tab in tabs:
+            # u32 -> residue: hi*2^16 + lo mod p, all within int32
+            lo = (rows_u32 & u32(0xFFFF)).astype(i32)
+            hi = (rows_u32 >> u32(16)).astype(i32)
+            r = center_reduce(
+                center_reduce(hi, tab.p) * np.int32((1 << 16) % tab.p) + lo,
+                tab.p,
+            )
+            outs.append(_fwd(r, p.N, tab, small_input=False))
         return jnp.stack(outs, axis=-2)
 
     def extprod1(self, digits: jnp.ndarray, prep: jnp.ndarray,
                  p: Params) -> jnp.ndarray:
-        """digits i32 [..., RR, N]; prep [..., RR, 2, P1*4, N]
+        """digits i32 [..., RR, N]; prep [..., RR, 2, P1, N]
         (broadcastable against digits' leading dims) -> u32 [..., 2, N]."""
         tabs = tables(p.N, PRIMES1)
-        dn = [
-            _fwd(digits, p.N, tab, small_input=True) for tab in tabs
-        ]  # each [..., RR, N]
-        p1, p2 = tabs[0].p, tabs[1].p
-        ip1 = _centered(pow(p1, p2 - 2, p2), p2)
-
-        acc = None
-        for l in range(4):
-            res = []
-            for pi, tab in enumerate(tabs):
-                g = prep[..., :, :, pi * 4 + l, :]     # [..., RR, 2, N]
-                prod = dn[pi][..., :, None, :] * g     # int32, |.| < 2^29.4
-                s = center_reduce(prod.sum(axis=-3, dtype=i32), tab.p)
-                res.append(_inv(s, p.N, tab))
-            # 2-prime CRT, all int32
-            d = res[1] - res[0]
-            t = center_reduce(d * np.int32(ip1), p2)
-            c = res[0] + np.int32(p1) * t              # exact conv_limb
-            term = c.astype(u32) << u32(8 * l)
-            acc = term if acc is None else acc + term
-        return acc
+        res = []
+        for pi, tab in enumerate(tabs):
+            dn = _fwd(digits, p.N, tab, small_input=True)
+            g = prep[..., :, :, pi, :]                 # [..., RR, 2, N]
+            prod = dn[..., :, None, :] * g
+            chunk = _pointwise_chunk(tab.p)
+            rr = prod.shape[-3]
+            s = None
+            for j0 in range(0, rr, chunk):
+                part = prod[..., j0 : j0 + chunk, :, :].sum(axis=-3, dtype=i32)
+                s = part if s is None else s + part
+                s = center_reduce(s, tab.p)
+            res.append(_inv(s, p.N, tab))
+        return garner_mod32(res, tuple(t.p for t in tabs))
 
     # -------------------------- lvl2 (u64) ----------------------------- #
     def prep2(self, rows_u64: jnp.ndarray, p: Params) -> jnp.ndarray:
-        """rows u64 [..., RR, 2, N2] -> int32 [..., RR, 2, P2*8, N2]."""
+        """rows u64 [..., RR, 2, N2] -> int32 [..., RR, 2, P2*4, N2]
+        (16-bit limbs: |conv_limb| <= 10*128*2^16*2^11 < 2^38, within the
+        3-prime range 2^41.9)."""
         tabs = tables(p.N2, PRIMES2)
         outs = []
         for tab in tabs:
-            for l in range(8):
-                limb = ((rows_u64 >> np.uint64(8 * l)) & np.uint64(0xFF)).astype(i32)
-                outs.append(_fwd(limb, p.N2, tab, small_input=False))
+            for l in range(4):
+                limb = (
+                    (rows_u64 >> np.uint64(16 * l)) & np.uint64(0xFFFF)
+                ).astype(i32)
+                outs.append(_fwd(center_reduce(limb, tab.p), p.N2, tab,
+                                 small_input=False))
         return jnp.stack(outs, axis=-2)
 
     def extprod2(self, digits: jnp.ndarray, prep: jnp.ndarray,
                  p: Params) -> jnp.ndarray:
         tabs = tables(p.N2, PRIMES2)
         dn = [_fwd(digits, p.N2, tab, small_input=True) for tab in tabs]
-        p1, p2, p3 = (t.p for t in tabs)
-        ip1 = _centered(pow(p1, p2 - 2, p2), p2)
-        ip12 = _centered(pow(p1 * p2 % p3, p3 - 2, p3), p3)
+        primes = tuple(t.p for t in tabs)
 
         acc = None
-        for l in range(8):
+        for l in range(4):
             res = []
             for pi, tab in enumerate(tabs):
-                g = prep[..., :, :, pi * 8 + l, :]
+                g = prep[..., :, :, pi * 4 + l, :]
                 prod = dn[pi][..., :, None, :] * g
-                # chunked j-sum: partial sums must stay within int32
-                # (chunk = floor(2^31 / (p/2)^2) terms per Barrett)
-                chunk = max(1, (1 << 31) // ((tab.p // 2 + 1) ** 2))
+                chunk = _pointwise_chunk(tab.p)
                 rr = prod.shape[-3]
                 s = None
                 for j0 in range(0, rr, chunk):
-                    part = prod[..., j0 : j0 + chunk, :, :].sum(axis=-3, dtype=i32)
+                    part = prod[..., j0 : j0 + chunk, :, :].sum(
+                        axis=-3, dtype=i32
+                    )
                     s = part if s is None else s + part
                     s = center_reduce(s, tab.p)
                 res.append(_inv(s, p.N2, tab))
-            # 3-prime CRT; the true value is < 2^30 so intermediates fit i32
-            d = res[1] - res[0]
-            t2 = center_reduce(d * np.int32(ip1), p2)
-            c12 = res[0] + np.int32(p1) * t2
-            d3 = res[2] - center_reduce(c12, p3)
-            t3 = center_reduce(d3 * np.int32(ip12), p3)
-            c = c12 + np.int32(p1 * p2) * t3
-            term = c.astype(i32).astype(jnp.int64).astype(u64) << np.uint64(8 * l)
+            c64v = garner_mod64(res, primes)
+            term = c64v << np.uint64(16 * l)
             acc = term if acc is None else acc + term
         return acc
 

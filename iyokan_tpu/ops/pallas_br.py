@@ -69,48 +69,54 @@ def _rot(poly, r, N):
     return x
 
 
-def _step_kernel(a_ref, acc_ref, bk_ref, tfw_ref, w2h_ref, w2l_ref,
-                 iw1h_ref, iw1l_ref, tinv_ref, out_ref, *, p: Params):
+def step_math(acc, r, g_step, tabrefs, p: Params):
+    """One CMUX step on in-VMEM values (shared by both kernels).
+
+    acc u32 [BG, 2, N]; r i32 [BG, >=2]; g_step i32 [2l, 2, P, N];
+    tabrefs = (tfw, w2h, w2l, iw1h, iw1l, tinv) refs indexed per prime.
+    """
     tabs = tables(p.N, PRIMES1)
-    acc = acc_ref[...]                     # [BG, 2, N] u32
-    r = a_ref[:, :2]                       # [BG, 2] i32 (lane-replicated)
-    rot = _rot(acc, r, p.N)
+    tfw, w2h, w2l, iw1h, iw1l, tinv = tabrefs
+    rot = _rot(acc, r[:, :2], p.N)
     d = _decompose1(rot - acc, p)          # [BG, 2l, N] i32
 
-    dn = [
-        polymul._fwd(
+    res = []
+    for pi, tab in enumerate(tabs):
+        dn = polymul._fwd(
             d, p.N, tab, small_input=True,
-            consts=(tfw_ref[pi], w2h_ref[pi], w2l_ref[pi]),
+            consts=(tfw[pi], w2h[pi], w2l[pi]),
         )
-        for pi, tab in enumerate(tabs)
-    ]
-    p1, p2 = tabs[0].p, tabs[1].p
-    ip1 = _centered(pow(p1, p2 - 2, p2), p2)
+        g = g_step[:, :, pi, :]                      # [2l, 2, N] i32
+        prod = dn[:, :, None, :] * g                 # [BG, 2l, 2, N]
+        chunk = polymul._pointwise_chunk(tab.p)
+        s = None
+        for j0 in range(0, prod.shape[1], chunk):
+            part = prod[:, j0 : j0 + chunk].sum(axis=1, dtype=jnp.int32)
+            s = part if s is None else s + part
+            s = center_reduce(s, tab.p)
+        res.append(polymul._inv(
+            s, p.N, tab,
+            consts=(iw1h[pi], iw1l[pi], tinv[pi]),
+        ))
+    return acc + polymul.garner_mod32(res, tuple(t.p for t in tabs))
 
-    total = acc
-    for l in range(4):
-        res = []
-        for pi, tab in enumerate(tabs):
-            g = bk_ref[:, :, pi * 4 + l, :]          # [2l, 2, N] i32
-            prod = dn[pi][:, :, None, :] * g         # [BG, 2l, 2, N]
-            s = center_reduce(prod.sum(axis=1, dtype=jnp.int32), tab.p)
-            res.append(polymul._inv(
-                s, p.N, tab,
-                consts=(iw1h_ref[pi], iw1l_ref[pi], tinv_ref[pi]),
-            ))
-        dd = res[1] - res[0]
-        t = center_reduce(dd * np.int32(ip1), p2)
-        c = res[0] + np.int32(p1) * t
-        total = total + (c.astype(u32) << u32(8 * l))
-    out_ref[...] = total
+
+def _step_kernel(a_ref, acc_ref, bk_ref, tfw_ref, w2h_ref, w2l_ref,
+                 iw1h_ref, iw1l_ref, tinv_ref, out_ref, *, p: Params):
+    acc = acc_ref[...]                     # [BG, 2, N] u32
+    out_ref[...] = step_math(
+        acc, a_ref[...], bk_ref[...],
+        (tfw_ref, w2h_ref, w2l_ref, iw1h_ref, iw1l_ref, tinv_ref), p,
+    )
 
 
 @functools.lru_cache(maxsize=None)
 def _step_tables(p: Params):
-    """Stacked per-prime twiddle tables, passed as kernel operands."""
+    """Stacked per-prime twiddle tables (numpy; converted at call sites --
+    caching jnp arrays here would leak tracers across jit traces)."""
     tabs = tables(p.N, PRIMES1)
     return tuple(
-        jnp.asarray(np.stack([getattr(t, f) for t in tabs]))
+        np.stack([getattr(t, f) for t in tabs]).astype(np.int32)
         for f in ("t", "w2_hi", "w2_lo", "iw1_hi", "iw1_lo", "it")
     )
 
@@ -134,13 +140,13 @@ def _step_call(p: Params, G: int, BG: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            full((2 * p.l, 2, 8, p.N)),
-            full((2, R, C)),       # fwd twiddle
-            full((2, C, C)),       # w2 hi
-            full((2, C, C)),       # w2 lo
-            full((2, C, C)),       # iw1 hi
-            full((2, C, C)),       # iw1 lo
-            full((2, R, C)),       # inv twiddle
+            full((2 * p.l, 2, len(PRIMES1), p.N)),
+            full((len(PRIMES1), R, C)),       # fwd twiddle
+            full((len(PRIMES1), C, C)),       # w2 hi
+            full((len(PRIMES1), C, C)),       # w2 lo
+            full((len(PRIMES1), C, C)),       # iw1 hi
+            full((len(PRIMES1), C, C)),       # iw1 lo
+            full((len(PRIMES1), R, C)),       # inv twiddle
         ],
         out_specs=pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..crypto import polymul
 from ..crypto.polymul import PRIMES1, _centered, center_reduce, tables
 from ..params import Params
-from .pallas_br import _decompose1, _rot, _step_tables
+from .pallas_br import _step_tables
 
 u32 = jnp.uint32
 i32 = jnp.int32
@@ -36,9 +36,7 @@ i32 = jnp.int32
 def _kernel(abar_ref, acc0_ref, tfw_ref, w2h_ref, w2l_ref,
             iw1h_ref, iw1l_ref, tinv_ref, bk_hbm, out_ref,
             bk_buf, sems, *, p: Params):
-    tabs = tables(p.N, PRIMES1)
-    p1, p2 = tabs[0].p, tabs[1].p
-    ip1 = _centered(pow(p1, p2 - 2, p2), p2)
+    from .pallas_br import step_math
 
     def dma(i, slot):
         return pltpu.make_async_copy(
@@ -55,43 +53,13 @@ def _kernel(abar_ref, acc0_ref, tfw_ref, w2h_ref, w2l_ref,
             dma(i + 1, 1 - slot).start()
 
         dma(i, slot).wait()
-        g_step = bk_buf[slot]                   # [2l, 2, 8, N] i32
-
-        skip = int(os.environ.get("IYOKAN_BR_SKIP", "0"))
+        g_step = bk_buf[slot]                   # [2l, 2, P, N] i32
         r = abar_ref[i, :][:, None]             # [BG, 1]
-        rot = _rot(acc, jnp.broadcast_to(r, (acc.shape[0], 2)), p.N)
-        d = _decompose1(rot - acc, p)
-        if skip >= 3:   # rot+decompose only
-            return acc + d[:, :2, :].astype(u32)
-
-        dn = [
-            polymul._fwd(
-                d, p.N, tab, small_input=True,
-                consts=(tfw_ref[pi], w2h_ref[pi], w2l_ref[pi]),
-            )
-            for pi, tab in enumerate(tabs)
-        ]
-        if skip >= 2:   # + fwd NTT only
-            return acc + (dn[0] + dn[1])[:, :2, :].astype(u32)
-        total = acc
-        for l in range(4):
-            res = []
-            for pi, tab in enumerate(tabs):
-                g = g_step[:, :, pi * 4 + l, :]
-                prod = dn[pi][:, :, None, :] * g
-                s = center_reduce(prod.sum(axis=1, dtype=i32), tab.p)
-                if skip >= 1:   # + pointwise, no inverse NTT
-                    res.append(s)
-                else:
-                    res.append(polymul._inv(
-                        s, p.N, tab,
-                        consts=(iw1h_ref[pi], iw1l_ref[pi], tinv_ref[pi]),
-                    ))
-            dd = res[1] - res[0]
-            t = center_reduce(dd * np.int32(ip1), p2)
-            c = res[0] + np.int32(p1) * t
-            total = total + (c.astype(u32) << u32(8 * l))
-        return total
+        r2 = jnp.broadcast_to(r, (acc.shape[0], 2))
+        return step_math(
+            acc, r2, g_step,
+            (tfw_ref, w2h_ref, w2l_ref, iw1h_ref, iw1l_ref, tinv_ref), p,
+        )
 
     out_ref[...] = jax.lax.fori_loop(0, p.n, body, acc0_ref[...])
 
@@ -114,19 +82,19 @@ def _call(p: Params, G: int, BG: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            full((2, R, C)),
-            full((2, C, C)),
-            full((2, C, C)),
-            full((2, C, C)),
-            full((2, C, C)),
-            full((2, R, C)),
+            full((len(PRIMES1), R, C)),
+            full((len(PRIMES1), C, C)),
+            full((len(PRIMES1), C, C)),
+            full((len(PRIMES1), C, C)),
+            full((len(PRIMES1), C, C)),
+            full((len(PRIMES1), R, C)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # bk stays in HBM
         ],
         out_specs=pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 2, p.N), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * p.l, 2, 8, p.N), jnp.int32),
+            pltpu.VMEM((2, 2 * p.l, 2, len(PRIMES1), p.N), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
