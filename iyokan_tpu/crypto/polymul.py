@@ -197,16 +197,21 @@ def _split_rc(N: int) -> Tuple[int, int]:
 @dataclasses.dataclass(frozen=True)
 class _PrimeTab:
     p: int
-    # forward: stage1 scalar table [R, R], twiddle [R, C], stage2 [C, C] limbs
+    # forward: stage1 [R, R] (scalar table + limbs), twiddle [R, C],
+    # stage2 [C, C] limbs
     w1: np.ndarray
+    w1_hi: np.ndarray
+    w1_lo: np.ndarray
     t: np.ndarray
     w2_hi: np.ndarray
     w2_lo: np.ndarray
-    # inverse: stage1 [C, C] limbs, twiddle [R, C], stage2 scalar table [R, R]
+    # inverse: stage1 [C, C] limbs, twiddle [R, C], stage2 [R, R]
     iw1_hi: np.ndarray
     iw1_lo: np.ndarray
     it: np.ndarray
     iw2: np.ndarray
+    iw2_hi: np.ndarray
+    iw2_lo: np.ndarray
 
 
 def _centered(v: int, p: int) -> int:
@@ -272,9 +277,12 @@ def tables(N: int, primes: Tuple[int, ...]) -> Tuple[_PrimeTab, ...]:
 
         w2h, w2l = _limbs_i8(w2)
         iw1h, iw1l = _limbs_i8(iw1)
+        w1h, w1l = _limbs_i8(w1)
+        iw2h, iw2l = _limbs_i8(iw2)
         out.append(_PrimeTab(
-            p, w1.astype(np.int64), t.astype(np.int32), w2h, w2l,
+            p, w1.astype(np.int64), w1h, w1l, t.astype(np.int32), w2h, w2l,
             iw1h, iw1l, it.astype(np.int32), iw2.astype(np.int64),
+            iw2h, iw2l,
         ))
     return tuple(out)
 
@@ -368,23 +376,56 @@ def _stage_small(x: jnp.ndarray, mat: np.ndarray, p: int,
     return jnp.stack(outs, axis=-2)
 
 
+def _mmT(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Small-int contraction over the second-minor axis on the MXU:
+    out[..., q, c] = sum_r a[..., r, c] * b[r, q]."""
+    out = jnp.einsum(
+        "...rc,rq->...qc",
+        a.astype(_MM_DTYPE), b.astype(_MM_DTYPE),
+        preferred_element_type=_MM_ACC,
+    )
+    return out.astype(i32)
+
+
+def _stage_rows(x, w1_np, w1_hi, w1_lo, p, in_bound, small):
+    """stage contraction over the small radix R.
+
+    small=True (|x| <= 128): single-limb data, two limb matmuls on the MXU.
+    Otherwise two data limbs x two matrix limbs.  Falls back to unrolled
+    scalar MACs when IYOKAN_STAGE_SMALL=scalar.
+    """
+    if os.environ.get("IYOKAN_STAGE_SMALL") == "scalar":
+        return _stage_small(x, w1_np, p, in_bound)
+    if small:
+        z = (_mmT(x, w1_hi) << 8) + _mmT(x, w1_lo)
+        return center_reduce(z, p)
+    x0 = ((x + 128) & 255) - 128
+    x1 = (x - x0) >> 8
+    z11 = center_reduce(_mmT(x1, w1_hi), p)
+    zmid = _mmT(x1, w1_lo) + _mmT(x0, w1_hi)
+    return center_reduce(
+        z11 * np.int32((1 << 16) % p) + (zmid << 8) + _mmT(x0, w1_lo), p
+    )
+
+
 def _fwd(x: jnp.ndarray, N: int, tab: _PrimeTab, small_input: bool,
          consts=None) -> jnp.ndarray:
     """Negacyclic NTT, x int32 [..., N] -> centered residues [..., N]
     (NTT-domain slot (q, s) = flat index q*C+s holds frequency s*R+q).
 
-    consts: optional (t, w2_hi, w2_lo) jnp values -- Pallas kernels must pass
-    the tables as inputs rather than captured constants.
+    consts: optional (w1_hi, w1_lo, t, w2_hi, w2_lo) jnp values -- Pallas
+    kernels must pass the tables as inputs rather than captured constants.
     """
     R, C = _split_rc(N)
     p = tab.p
     lead = x.shape[:-1]
     a = x.reshape(*lead, R, C)
     in_bound = 128 if small_input else p // 2 + 1
-    t, w2h, w2l = consts if consts is not None else (
+    w1h, w1l, t, w2h, w2l = consts if consts is not None else (
+        jnp.asarray(tab.w1_hi), jnp.asarray(tab.w1_lo),
         jnp.asarray(tab.t), jnp.asarray(tab.w2_hi), jnp.asarray(tab.w2_lo)
     )
-    u = _stage_small(a, tab.w1, p, in_bound)
+    u = _stage_rows(a, tab.w1, w1h, w1l, p, in_bound, small_input)
     v = center_reduce(u * t, p)                       # [.., q, c]
     z = _mm_data2(v, w2h, w2l, p)
     return z.reshape(*lead, N)
@@ -396,12 +437,14 @@ def _inv(x: jnp.ndarray, N: int, tab: _PrimeTab, consts=None) -> jnp.ndarray:
     p = tab.p
     lead = x.shape[:-1]
     z = x.reshape(*lead, R, C)                        # [.., q, s]
-    iw1h, iw1l, it = consts if consts is not None else (
-        jnp.asarray(tab.iw1_hi), jnp.asarray(tab.iw1_lo), jnp.asarray(tab.it)
+    iw1h, iw1l, it, iw2h, iw2l = consts if consts is not None else (
+        jnp.asarray(tab.iw1_hi), jnp.asarray(tab.iw1_lo),
+        jnp.asarray(tab.it), jnp.asarray(tab.iw2_hi),
+        jnp.asarray(tab.iw2_lo)
     )
     t1 = _mm_data2(z, iw1h, iw1l, p)
     t2 = center_reduce(t1 * it, p)                    # [.., q, c]
-    a = _stage_small(t2, tab.iw2, p, p // 2 + 1)
+    a = _stage_rows(t2, tab.iw2, iw2h, iw2l, p, p // 2 + 1, False)
     return a.reshape(*lead, N)
 
 

@@ -69,14 +69,18 @@ def _rot(poly, r, N):
     return x
 
 
+TABLE_FIELDS = ("w1_hi", "w1_lo", "t", "w2_hi", "w2_lo",
+                "iw1_hi", "iw1_lo", "it", "iw2_hi", "iw2_lo")
+
+
 def step_math(acc, r, g_step, tabrefs, p: Params):
     """One CMUX step on in-VMEM values (shared by both kernels).
 
     acc u32 [BG, 2, N]; r i32 [BG, >=2]; g_step i32 [2l, 2, P, N];
-    tabrefs = (tfw, w2h, w2l, iw1h, iw1l, tinv) refs indexed per prime.
+    tabrefs: refs for TABLE_FIELDS, each stacked over primes.
     """
     tabs = tables(p.N, PRIMES1)
-    tfw, w2h, w2l, iw1h, iw1l, tinv = tabrefs
+    w1h, w1l, tfw, w2h, w2l, iw1h, iw1l, tinv, iw2h, iw2l = tabrefs
     rot = _rot(acc, r[:, :2], p.N)
     d = _decompose1(rot - acc, p)          # [BG, 2l, N] i32
 
@@ -84,7 +88,7 @@ def step_math(acc, r, g_step, tabrefs, p: Params):
     for pi, tab in enumerate(tabs):
         dn = polymul._fwd(
             d, p.N, tab, small_input=True,
-            consts=(tfw[pi], w2h[pi], w2l[pi]),
+            consts=(w1h[pi], w1l[pi], tfw[pi], w2h[pi], w2l[pi]),
         )
         g = g_step[:, :, pi, :]                      # [2l, 2, N] i32
         prod = dn[:, :, None, :] * g                 # [BG, 2l, 2, N]
@@ -96,17 +100,20 @@ def step_math(acc, r, g_step, tabrefs, p: Params):
             s = center_reduce(s, tab.p)
         res.append(polymul._inv(
             s, p.N, tab,
-            consts=(iw1h[pi], iw1l[pi], tinv[pi]),
+            consts=(iw1h[pi], iw1l[pi], tinv[pi], iw2h[pi], iw2l[pi]),
         ))
     return acc + polymul.garner_mod32(res, tuple(t.p for t in tabs))
 
 
-def _step_kernel(a_ref, acc_ref, bk_ref, tfw_ref, w2h_ref, w2l_ref,
-                 iw1h_ref, iw1l_ref, tinv_ref, out_ref, *, p: Params):
+def _step_kernel(a_ref, acc_ref, bk_ref, *rest, p: Params):
+    tab_refs, out_ref = rest[:-1], rest[-1]
     acc = acc_ref[...]                     # [BG, 2, N] u32
-    out_ref[...] = step_math(
-        acc, a_ref[...], bk_ref[...],
-        (tfw_ref, w2h_ref, w2l_ref, iw1h_ref, iw1l_ref, tinv_ref), p,
+    out_ref[...] = step_math(acc, a_ref[...], bk_ref[...], tab_refs, p)
+
+
+def _table_shape(field: str, R: int, C: int):
+    return (R, C) if field in ("t", "it") else (
+        (R, R) if field.startswith(("w1", "iw2")) else (C, C)
     )
 
 
@@ -117,7 +124,7 @@ def _step_tables(p: Params):
     tabs = tables(p.N, PRIMES1)
     return tuple(
         np.stack([getattr(t, f) for t in tabs]).astype(np.int32)
-        for f in ("t", "w2_hi", "w2_lo", "iw1_hi", "iw1_lo", "it")
+        for f in TABLE_FIELDS
     )
 
 
@@ -141,12 +148,9 @@ def _step_call(p: Params, G: int, BG: int):
             pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             full((2 * p.l, 2, len(PRIMES1), p.N)),
-            full((len(PRIMES1), R, C)),       # fwd twiddle
-            full((len(PRIMES1), C, C)),       # w2 hi
-            full((len(PRIMES1), C, C)),       # w2 lo
-            full((len(PRIMES1), C, C)),       # iw1 hi
-            full((len(PRIMES1), C, C)),       # iw1 lo
-            full((len(PRIMES1), R, C)),       # inv twiddle
+        ] + [
+            full((len(PRIMES1),) + _table_shape(f, R, C))
+            for f in TABLE_FIELDS
         ],
         out_specs=pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -27,16 +27,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..crypto import polymul
 from ..crypto.polymul import PRIMES1, _centered, center_reduce, tables
 from ..params import Params
-from .pallas_br import _step_tables
+from .pallas_br import TABLE_FIELDS, _step_tables, _table_shape
 
 u32 = jnp.uint32
 i32 = jnp.int32
 
 
-def _kernel(abar_ref, acc0_ref, tfw_ref, w2h_ref, w2l_ref,
-            iw1h_ref, iw1l_ref, tinv_ref, bk_hbm, out_ref,
-            bk_buf, sems, *, p: Params):
+def _kernel(abar_ref, acc0_ref, *rest, p: Params):
     from .pallas_br import step_math
+
+    tab_refs = rest[:-4]
+    bk_hbm, out_ref, bk_buf, sems = rest[-4:]
 
     def dma(i, slot):
         return pltpu.make_async_copy(
@@ -56,10 +57,7 @@ def _kernel(abar_ref, acc0_ref, tfw_ref, w2h_ref, w2l_ref,
         g_step = bk_buf[slot]                   # [2l, 2, P, N] i32
         r = abar_ref[i, :][:, None]             # [BG, 1]
         r2 = jnp.broadcast_to(r, (acc.shape[0], 2))
-        return step_math(
-            acc, r2, g_step,
-            (tfw_ref, w2h_ref, w2l_ref, iw1h_ref, iw1l_ref, tinv_ref), p,
-        )
+        return step_math(acc, r2, g_step, tab_refs, p)
 
     out_ref[...] = jax.lax.fori_loop(0, p.n, body, acc0_ref[...])
 
@@ -82,12 +80,10 @@ def _call(p: Params, G: int, BG: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            full((len(PRIMES1), R, C)),
-            full((len(PRIMES1), C, C)),
-            full((len(PRIMES1), C, C)),
-            full((len(PRIMES1), C, C)),
-            full((len(PRIMES1), C, C)),
-            full((len(PRIMES1), R, C)),
+        ] + [
+            full((len(PRIMES1),) + _table_shape(f, R, C))
+            for f in TABLE_FIELDS
+        ] + [
             pl.BlockSpec(memory_space=pltpu.ANY),   # bk stays in HBM
         ],
         out_specs=pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
