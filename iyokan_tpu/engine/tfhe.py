@@ -22,6 +22,7 @@ Built-in CMUX memories follow the reference dataflow exactly
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -44,24 +45,120 @@ class TFHEEngine:
         self.p = eval_key.params
         needs_cb = bool(self.d.rom_insts or self.d.ram_insts)
         self.keys = ops.DeviceKeys.from_evalkey(eval_key, with_cb=needs_cb)
-        self._settle = jax.jit(self._settle_impl)
         self._tick = jax.jit(self._tick_impl)
         # jitted entry points take the keys as arguments (pytree), never as
-        # closure constants -- see DeviceKeys
-        # per-level constant tables for the linear pre-combination
-        self._lin_tables = []
-        for plan in compiled.levels:
-            ca = np.array([G.GATE_LIN[k][0] for k in plan.bin_kind], np.int32)
-            cb = np.array([G.GATE_LIN[k][1] for k in plan.bin_kind], np.int32)
-            kk = np.array([G.GATE_LIN[k][2] for k in plan.bin_kind], np.int32)
-            self._lin_tables.append((ca, cb, kk))
+        # closure constants -- see DeviceKeys.
+        #
+        # The combinational sweep is one jitted call *per level*, with the
+        # batch padded to a power-of-two bucket: the expensive blind-rotate
+        # graph then compiles once per bucket size and is reused across
+        # levels and cycles (a whole-settle jit would instantiate a separate
+        # 635-step loop for every level -- impractical compile times).
+        self._level_fns = {}
+        self._mem_fns = {}
+        self._padded_plans = [self._pad_plan(pl_) for pl_ in compiled.levels]
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def _bucket(n: int) -> int:
+        if n == 0:
+            return 0
+        b = 16
+        while b < n:
+            b *= 2
+        return b
+
+    def _pad_plan(self, plan):
+        """Pad a level's gather/scatter arrays to bucket sizes.
+
+        Dummy rows gather node 0 and scatter into the scratch slot
+        (index num_nodes) appended to the value array.
+        """
+        dump = self.c.num_nodes
+        nb, nm = len(plan.bin_out), len(plan.mux_out)
+        nbb, nmb = self._bucket(nb), self._bucket(nm)
+
+        def pad(arr, size, fill):
+            out = np.full(size, fill, np.int32)
+            out[: len(arr)] = arr
+            return out
+
+        ca = np.array([G.GATE_LIN[k][0] for k in plan.bin_kind], np.int32)
+        cb = np.array([G.GATE_LIN[k][1] for k in plan.bin_kind], np.int32)
+        kk = np.array([G.GATE_LIN[k][2] for k in plan.bin_kind], np.int32)
+        return {
+            "nb": nbb, "nm": nmb,
+            "bin_a": pad(plan.bin_a, nbb, 0),
+            "bin_b": pad(plan.bin_b, nbb, 0),
+            "ca": pad(ca, nbb, 1), "cb": pad(cb, nbb, 1),
+            "kk": pad(kk, nbb, 0),
+            "bin_out": pad(plan.bin_out, nbb, dump),
+            "mux_a": pad(plan.mux_a, nmb, 0),
+            "mux_b": pad(plan.mux_b, nmb, 0),
+            "mux_s": pad(plan.mux_s, nmb, 0),
+            "mux_out": pad(plan.mux_out, nmb, dump),
+            "not_src": plan.not_src, "not_out": plan.not_out,
+            "copy_src": plan.copy_src, "copy_out": plan.copy_out,
+        }
+
+    def _level_fn(self, nb: int, nm: int):
+        key = (nb, nm)
+        if key not in self._level_fns:
+            p = self.p
+
+            @jax.jit
+            def fn(keys, vals, ba, bb, ca, cb, kk, bo, ma, mb, ms, mo):
+                mu = u32(p.mu)
+                vals = replicated(vals)
+                pres = []
+                if nb:
+                    A = vals[ba]
+                    B = vals[bb]
+                    pres.append(ops.gate_linear(A, B, ca, cb, kk, p))
+                if nm:
+                    Av = vals[ma]
+                    Bv = vals[mb]
+                    S = vals[ms]
+                    pre1 = (S + Bv).at[:, p.n].add(u32(0) - mu)
+                    pre2 = (Av - S).at[:, p.n].add(u32(0) - mu)
+                    pres.extend([pre1, pre2])
+                batch = shard_batch(jnp.concatenate(pres, axis=0))
+                t1 = ops.gate_bootstrap_tlwe1(batch, keys.bkntt, p,
+                                              keys.backend)
+                rows = []
+                if nb:
+                    rows.append(t1[:nb])
+                if nm:
+                    comb = t1[nb : nb + nm] + t1[nb + nm :]
+                    comb = comb.at[:, p.N].add(mu)
+                    rows.append(comb)
+                lvl1 = jnp.concatenate(rows, axis=0)
+                out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
+                ids = jnp.concatenate([bo, mo])
+                return vals.at[ids].set(out)
+
+            self._level_fns[key] = fn
+        return self._level_fns[key]
+
+    def _simple_fn(self):
+        """NOT gates + copies of a level (cheap, one shared jit)."""
+        if "simple" not in self._level_fns:
+
+            @jax.jit
+            def fn(vals, not_src, not_out, copy_src, copy_out):
+                vals = vals.at[not_out].set(u32(0) - vals[not_src])
+                return vals.at[copy_out].set(vals[copy_src])
+
+            self._level_fns["simple"] = fn
+        return self._level_fns["simple"]
 
     # ------------------------------------------------------------------ #
     # state constructors / accessors
     # ------------------------------------------------------------------ #
     def init_vals(self) -> jnp.ndarray:
+        # one extra scratch row (index num_nodes) absorbs padded scatters
         p = self.p
-        vals = jnp.zeros((self.c.num_nodes, p.n + 1), u32)
+        vals = jnp.zeros((self.c.num_nodes + 1, p.n + 1), u32)
         # everything starts as trivial 0 (reference DFF/const init,
         # src/iyokan_tfhepp.hpp:18-58); constants get their trivial value
         neg_mu = u32(0) - u32(p.mu)
@@ -140,43 +237,6 @@ class TFHEEngine:
     # ------------------------------------------------------------------ #
     # the per-cycle combinational sweep
     # ------------------------------------------------------------------ #
-    def _bootstrap_level(self, keys, vals, plan, tables):
-        """One fused batch: all 2-input gates + MUX halves of a level."""
-        p = self.p
-        mu = u32(p.mu)
-        nbin = len(plan.bin_out)
-        nmux = len(plan.mux_out)
-        pres = []
-        if nbin:
-            A = vals[plan.bin_a]
-            B = vals[plan.bin_b]
-            ca, cb, kk = tables
-            pres.append(ops.gate_linear(A, B, jnp.asarray(ca),
-                                        jnp.asarray(cb), jnp.asarray(kk), p))
-        if nmux:
-            Av = vals[plan.mux_a]
-            Bv = vals[plan.mux_b]
-            S = vals[plan.mux_s]
-            pre1 = (S + Bv).at[:, p.n].add(u32(0) - mu)   # AND(s, b)
-            pre2 = (Av - S).at[:, p.n].add(u32(0) - mu)   # AND(~s, a)
-            pres.extend([pre1, pre2])
-        if not pres:
-            return vals
-        batch = shard_batch(jnp.concatenate(pres, axis=0))
-        t1 = ops.gate_bootstrap_tlwe1(batch, keys.bkntt, p,
-                                      keys.backend)
-        rows = []
-        if nbin:
-            rows.append(t1[:nbin])
-        if nmux:
-            comb = t1[nbin : nbin + nmux] + t1[nbin + nmux :]
-            comb = comb.at[:, p.N].add(mu)
-            rows.append(comb)
-        lvl1 = jnp.concatenate(rows, axis=0)
-        out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
-        ids = np.concatenate([plan.bin_out, plan.mux_out])
-        return vals.at[ids].set(out)
-
     def _cb_pairs(self, keys, vals, addr_nodes):
         """CBWithInv of address wires -> prepared TRGSW selectors.
 
@@ -190,7 +250,7 @@ class TFHEEngine:
         both = jnp.stack([trgsw, inv], axis=1)       # [a, 2, 2l, 2, N]
         return ops.prep_trgsw(both, p, keys.backend)
 
-    def _rom_read(self, keys, vals, roms, name):
+    def _rom_read(self, keys, vals, rom_store, name):
         """Reference TaskTFHEppROMUX: UROMUX inter-word CMUX tree then LROMUX
         intra-word rotate ladder (src/iyokan_tfhepp.hpp:238-338)."""
         p = self.p
@@ -202,7 +262,7 @@ class TFHEEngine:
         n_inter = max(0, a - log2wpt)
 
         be = keys.backend
-        words = roms[name]                           # [2^n_inter, 2, N]
+        words = rom_store                            # [2^n_inter, 2, N]
         for b in range(n_inter):
             g = gn[log2wpt + b, 1]                   # inverted: bit==0 -> even
             words = ops.cmux(g, words[0::2], words[1::2], p, be)
@@ -218,15 +278,15 @@ class TFHEEngine:
 
         lvl1 = jnp.stack([ops.sample_extract(acc, b) for b in range(w)])
         out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
-        return vals.at[np.asarray(inst.read_nodes, np.int32)].set(out), None
+        return vals.at[np.asarray(inst.read_nodes, np.int32)].set(out)
 
-    def _ram_read(self, keys, vals, rams, name):
+    def _ram_read(self, keys, vals, ram_store, name):
         """Reference TaskTFHEppRAMUX (src/iyokan_tfhepp.hpp:409-498):
         CMUX tree over 2^a words per data bit, inverted selectors."""
         p = self.p
         inst = self.d.ram_insts[name]
         gn = self._cb_pairs(keys, vals, inst.addr_nodes)
-        words = rams[name]                           # [2^a, w, 2, N]
+        words = ram_store                            # [2^a, w, 2, N]
         for b in range(inst.addr_width):
             g = gn[b, 1]                             # inverted
             words = ops.cmux(g, words[0::2], words[1::2], p,
@@ -237,7 +297,7 @@ class TFHEEngine:
         vals = vals.at[np.asarray(inst.read_nodes, np.int32)].set(out)
         return vals, gn
 
-    def _ram_write(self, keys, vals, store, name, gn):
+    def _ram_write(self, keys, vals, store, gn, name):
         """Reference write path (src/iyokan_tfhepp.hpp:500-673): MUXwoSE ->
         per-address CMUX chains -> SEI+KS -> batched bootstrap refresh."""
         p = self.p
@@ -276,26 +336,61 @@ class TFHEEngine:
         return fresh.reshape(1 << a, w, 2, p.N)
 
     # ------------------------------------------------------------------ #
-    def _settle_impl(self, keys, vals, rams, roms):
-        vals = replicated(vals)
+    def _mem_fn(self, kind: str, name: str):
+        key = (kind, name)
+        if key not in self._mem_fns:
+            if kind == "rom":
+                fn = jax.jit(functools.partial(self._rom_read, name=name))
+            elif kind == "ram_read":
+                fn = jax.jit(functools.partial(self._ram_read, name=name))
+            else:
+                fn = jax.jit(functools.partial(self._ram_write, name=name))
+            self._mem_fns[key] = fn
+        return self._mem_fns[key]
+
+    def settle(self, vals, rams, roms):
+        """Host-driven sweep: one jitted call per level (bucketed shapes)
+        plus per-instance memory calls."""
+        keys = self.keys
         ram_sel: Dict[str, jnp.ndarray] = {}
-        for plan, tables in zip(self.c.levels, self._lin_tables):
-            vals = self._bootstrap_level(keys, vals, plan, tables)
-            if len(plan.not_out):
-                vals = vals.at[plan.not_out].set(u32(0) - vals[plan.not_src])
-            if len(plan.copy_out):
-                vals = vals.at[plan.copy_out].set(vals[plan.copy_src])
+        for plan, pp in zip(self.c.levels, self._padded_plans):
+            if pp["nb"] or pp["nm"]:
+                fn = self._level_fn(pp["nb"], pp["nm"])
+                vals = fn(
+                    keys, vals,
+                    pp["bin_a"], pp["bin_b"], pp["ca"], pp["cb"], pp["kk"],
+                    pp["bin_out"], pp["mux_a"], pp["mux_b"], pp["mux_s"],
+                    pp["mux_out"],
+                )
+            if len(pp["not_out"]) or len(pp["copy_out"]):
+                vals = self._simple(vals, pp)
             for name in plan.rom_reads:
-                vals, _ = self._rom_read(keys, vals, roms, name)
+                vals = self._mem_fn("rom", name)(keys, vals, roms[name])
             for name in plan.ram_reads:
-                vals, gn = self._ram_read(keys, vals, rams, name)
+                vals, gn = self._mem_fn("ram_read", name)(
+                    keys, vals, rams[name]
+                )
                 ram_sel[name] = gn
 
         new_rams = {}
         for name, store in rams.items():
-            new_rams[name] = self._ram_write(keys, vals, store, name,
-                                             ram_sel[name])
+            new_rams[name] = self._mem_fn("ram_write", name)(
+                keys, vals, store, ram_sel[name]
+            )
         return vals, new_rams
 
-    def settle(self, vals, rams, roms):
-        return self._settle(self.keys, vals, rams, roms)
+    def _simple(self, vals, pp):
+        """NOT + copy rows, padded to shared buckets."""
+        dump = self.c.num_nodes
+
+        def padded(src, out):
+            b = self._bucket(max(len(src), 1))
+            s = np.zeros(b, np.int32)
+            o = np.full(b, dump, np.int32)
+            s[: len(src)] = src
+            o[: len(out)] = out
+            return s, o
+
+        ns, no = padded(pp["not_src"], pp["not_out"])
+        cs, co = padded(pp["copy_src"], pp["copy_out"])
+        return self._simple_fn()(vals, ns, no, cs, co)
