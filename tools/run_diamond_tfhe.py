@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Flagship end-to-end: the cahp-diamond CPU, fully encrypted, on TPU.
+
+Mirrors test.rb's tfhe-cahp-diamond-00 (test.rb:387-388): runs the test00
+program for 8 clock cycles under 128-bit TFHE and checks the decrypted
+result packet against the reference golden output.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from iyokan_tpu import packet as packet_mod
+from iyokan_tpu.circuit.blueprint import Blueprint
+from iyokan_tpu.crypto import host
+from iyokan_tpu.engine.driver import Frontend
+from tests.fixtures import fixture, normalize
+
+CACHE = os.environ.get("IYOKAN_KEY_CACHE", "/tmp/iyokan-keys")
+CYCLES = int(os.environ.get("DIAMOND_CYCLES", "8"))
+BLUEPRINT = os.environ.get("DIAMOND_BLUEPRINT", "config-toml/cahp-diamond.toml")
+IN_FILE = os.environ.get("DIAMOND_IN", "in/test00.in")
+GOLDEN = os.environ.get("DIAMOND_OUT", "out/test00-diamond.out")
+
+
+def main():
+    os.makedirs(CACHE, exist_ok=True)
+    skf = os.path.join(CACHE, "sk-cggi128")
+    ekf = os.path.join(CACHE, "ek-cggi128")
+    t0 = time.time()
+    if not os.path.exists(skf):
+        sk = host.keygen(host.by_name("cggi128"), seed=0)
+        sk.save(skf)
+        host.genevalkey(sk, seed=1).save(ekf)
+    sk = host.SecretKey.load(skf)
+    ek = host.EvalKey.load(ekf)
+    print(f"keys ready ({time.time()-t0:.1f}s)", flush=True)
+
+    req = packet_mod.PlainPacket.from_toml_file(fixture(IN_FILE))
+    t0 = time.time()
+    enc = req.encrypt(sk, seed=2)
+    print(f"encrypt request ({time.time()-t0:.1f}s)", flush=True)
+
+    bp = Blueprint(fixture(BLUEPRINT))
+    t0 = time.time()
+    fe = Frontend("tfhe", bp, enc, eval_key=ek)
+    print(f"frontend built ({time.time()-t0:.1f}s)", flush=True)
+
+    t0 = time.time()
+    fe.go(CYCLES)
+    total = time.time() - t0
+    print(f"{CYCLES} encrypted cycles in {total:.1f}s "
+          f"({total/CYCLES:.1f}s/cycle)", flush=True)
+
+    res = fe.make_result_packet().decrypt(sk)
+    want = packet_mod.PlainPacket.from_toml_file(fixture(GOLDEN))
+    ok = normalize(res) == normalize(want)
+    print("RESULT:", "MATCH" if ok else "MISMATCH")
+    if not ok:
+        for name in sorted(want.bits):
+            got_b = res.bits.get(name)
+            print(f"  {name}: got {None if got_b is None else list(got_b)} "
+                  f"want {list(want.bits[name])}")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
