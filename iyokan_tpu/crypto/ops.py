@@ -47,8 +47,14 @@ def decompose1(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     """Signed gadget decomposition, 32-bit torus.
 
     x: u32 [..., 2, N]  ->  int32 [..., 2l, N], digit (i*l+j) for part i.
+
+    The offset both centers the digits (Bg/2 per level) and rounds the
+    truncated tail to nearest (the 2^(31-l*Bgbit) term) -- without the
+    rounding bit the recomposition residual has a +half-step *bias* that
+    accumulates coherently through s1 and costs ~2.5 bits of noise budget.
     """
     offset = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(p.l))
+    offset += 1 << (31 - p.l * p.Bgbit)
     xp = x + u32(offset & 0xFFFFFFFF)
     outs = []
     for j in range(p.l):
@@ -64,6 +70,7 @@ def decompose1(x: jnp.ndarray, p: Params) -> jnp.ndarray:
 def decompose2(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     """Signed gadget decomposition, 64-bit torus: u64 [..., 2, N2] -> int32."""
     offset = sum((p.Bg2 // 2) << (64 - (j + 1) * p.Bgbit2) for j in range(p.l2))
+    offset += 1 << (63 - p.l2 * p.Bgbit2)
     xp = x + c64(offset)
     outs = []
     for j in range(p.l2):

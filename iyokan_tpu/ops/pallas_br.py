@@ -39,6 +39,7 @@ i32 = jnp.int32
 
 def _decompose1(x, p: Params):
     offset = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(p.l))
+    offset += 1 << (31 - p.l * p.Bgbit)   # round-to-nearest tail
     xp = x + u32(offset & 0xFFFFFFFF)
     outs = []
     for i in range(2):

@@ -1,0 +1,83 @@
+"""Noise-budget statistics and alternate parameter sets (slow tier).
+
+The reference's encrypted tests assert on decrypted outputs; here we
+additionally measure the phase-noise distribution of freshly bootstrapped
+gates against the documented budget (params.py) -- the engine analogue of
+TFHEpp's parameter-fidelity requirements (SURVEY.md section 7 hard part f).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from iyokan_tpu import gates, params as params_mod
+from iyokan_tpu.crypto import host, ops
+
+
+def _bootstrap_nand(p, sk, ek, G, seed):
+    keys = ops.DeviceKeys.from_evalkey(ek, with_cb=False)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 2, G, dtype=np.uint8)
+    b = rng.integers(0, 2, G, dtype=np.uint8)
+    A = jnp.asarray(host.encrypt_bits(sk, a, rng))
+    B = jnp.asarray(host.encrypt_bits(sk, b, rng))
+    ca, cb, kk = gates.GATE_LIN[gates.NAND]
+
+    @jax.jit
+    def run(keys, A, B):
+        pre = ops.gate_linear(
+            A, B, jnp.full((G,), ca, jnp.int32),
+            jnp.full((G,), cb, jnp.int32), jnp.full((G,), kk, jnp.int32), p,
+        )
+        t1 = ops.gate_bootstrap_tlwe1(pre, keys.bkntt, p, keys.backend)
+        return ops.keyswitch_10(t1, keys.ksk_mat, p)
+
+    out = np.asarray(run(keys, A, B))
+    want = 1 - (a & b)
+    return out, want
+
+
+@pytest.mark.slow
+def test_noise_margin_toy(toy, toy_sk, toy_ek):
+    """Phase error of bootstrapped gates stays far below the 1/16 threshold."""
+    out, want = _bootstrap_nand(toy, toy_sk, toy_ek, 256, 11)
+    got = host.decrypt_bits(toy_sk, out)
+    np.testing.assert_array_equal(got, want)
+
+    phase = host.tlwe0_phase(toy_sk, out).astype(np.int64)
+    mu = toy.mu
+    signed = np.where(phase > 1 << 31, phase - (1 << 32), phase)
+    err = np.where(want == 1, signed - mu, signed + mu)
+    sigma = err.std() / 2.0 ** 32
+    # toy params: practically noiseless; 1/16 threshold with huge margin
+    assert sigma < 1 / 64, f"sigma = {sigma}"
+
+
+@pytest.mark.slow
+def test_cggi128_gates():
+    """Full 128-bit parameters: batched NAND correct, noise within budget."""
+    p = params_mod.CGGI128
+    sk = host.keygen(p, seed=0)
+    ek = host.genevalkey(sk, seed=1, with_cb=False)
+    out, want = _bootstrap_nand(p, sk, ek, 64, 12)
+    got = host.decrypt_bits(sk, out)
+    np.testing.assert_array_equal(got, want)
+
+    phase = host.tlwe0_phase(sk, out).astype(np.int64)
+    signed = np.where(phase > 1 << 31, phase - (1 << 32), phase)
+    err = np.where(want == 1, signed - p.mu, signed + p.mu)
+    sigma = err.std() / 2.0 ** 32
+    # documented budget: sigma ~ 2^-8.2; 1/16 threshold needs < 2^-6 or so
+    assert sigma < 2.0 ** -7, f"sigma = {sigma} (budget ~2^-8.2)"
+
+
+@pytest.mark.slow
+def test_cggi16_80_gates():
+    """The 80-bit option (reference IYOKAN_80BIT_SECURITY build)."""
+    p = params_mod.CGGI16_80
+    sk = host.keygen(p, seed=0)
+    ek = host.genevalkey(sk, seed=1, with_cb=False)
+    out, want = _bootstrap_nand(p, sk, ek, 64, 13)
+    got = host.decrypt_bits(sk, out)
+    np.testing.assert_array_equal(got, want)
