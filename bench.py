@@ -33,7 +33,7 @@ def main():
     from iyokan_tpu.crypto import host, ops
 
     pname = os.environ.get("BENCH_PARAMS", "cggi128")
-    G = int(os.environ.get("BENCH_G", "4096"))
+    G = int(os.environ.get("BENCH_G", "1024"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     p = params_mod.by_name(pname)
 

@@ -78,8 +78,18 @@ def _pointwise_chunk(p: int) -> int:
     """Max j-terms whose centered products can accumulate in int32."""
     return max(1, (1 << 31) // ((p // 2 + 1) ** 2) - 1)
 
-_MM_DTYPE = jnp.int8 if os.environ.get("IYOKAN_MM_INT8") else jnp.bfloat16
-_MM_ACC = jnp.int32 if _MM_DTYPE == jnp.int8 else jnp.float32
+@functools.lru_cache(maxsize=None)
+def _mm_dtypes():
+    """Matmul operand/accumulator dtypes: int8->s32 on TPU (2x MXU rate,
+    native support), bf16->f32 elsewhere.  Override with IYOKAN_MM_DTYPE."""
+    v = os.environ.get("IYOKAN_MM_DTYPE")
+    if v == "int8":
+        return jnp.int8, jnp.int32
+    if v == "bf16":
+        return jnp.bfloat16, jnp.float32
+    if jax.default_backend() == "tpu":
+        return jnp.int8, jnp.int32
+    return jnp.bfloat16, jnp.float32
 
 
 def _is_prime(p: int) -> bool:
@@ -156,10 +166,11 @@ def _limbs_i8(x_centered: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 def _mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Exact small-int matmul on the MXU: [..., K] @ [K, M] -> int32."""
+    dt, acc = _mm_dtypes()
     out = jnp.einsum(
         "...k,km->...m",
-        a.astype(_MM_DTYPE), b.astype(_MM_DTYPE),
-        preferred_element_type=_MM_ACC,
+        a.astype(dt), b.astype(dt),
+        preferred_element_type=acc,
     )
     return out.astype(i32)
 
@@ -379,10 +390,11 @@ def _stage_small(x: jnp.ndarray, mat: np.ndarray, p: int,
 def _mmT(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Small-int contraction over the second-minor axis on the MXU:
     out[..., q, c] = sum_r a[..., r, c] * b[r, q]."""
+    dt, acc = _mm_dtypes()
     out = jnp.einsum(
         "...rc,rq->...qc",
-        a.astype(_MM_DTYPE), b.astype(_MM_DTYPE),
-        preferred_element_type=_MM_ACC,
+        a.astype(dt), b.astype(dt),
+        preferred_element_type=acc,
     )
     return out.astype(i32)
 
