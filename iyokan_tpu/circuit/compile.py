@@ -94,27 +94,38 @@ def compile_design(design: Design) -> Compiled:
             continue
         comb_ins[node] = design.ins[node]
 
-    succs: List[List[int]] = [[] for _ in range(n)]
-    indeg = np.zeros(n, np.int64)
+    src_list, dst_list = [], []
     for node in range(n):
-        for src in comb_ins[node]:
-            succs[src].append(node)
-            indeg[node] += 1
+        for s in comb_ins[node]:
+            src_list.append(s)
+            dst_list.append(node)
 
-    level = np.zeros(n, np.int64)
-    queue = deque(i for i in range(n) if indeg[i] == 0)
-    seen = 0
-    while queue:
-        u = queue.popleft()
-        seen += 1
-        for v in succs[u]:
-            level[v] = max(level[v], level[u] + 1)
-            indeg[v] -= 1
-            if indeg[v] == 0:
-                queue.append(v)
-    if seen != n:
-        bad = [i for i in range(n) if indeg[i] > 0][:10]
-        raise ValueError(f"combinational cycle through nodes {bad}")
+    from .. import native
+
+    level = native.levelize(
+        n, np.asarray(src_list, np.int32), np.asarray(dst_list, np.int32)
+    )
+    if level is None:
+        # pure-Python fallback (no compiler available)
+        succs: List[List[int]] = [[] for _ in range(n)]
+        indeg = np.zeros(n, np.int64)
+        for s, d in zip(src_list, dst_list):
+            succs[s].append(d)
+            indeg[d] += 1
+        level = np.zeros(n, np.int64)
+        queue = deque(i for i in range(n) if indeg[i] == 0)
+        seen = 0
+        while queue:
+            u = queue.popleft()
+            seen += 1
+            for v in succs[u]:
+                level[v] = max(level[v], level[u] + 1)
+                indeg[v] -= 1
+                if indeg[v] == 0:
+                    queue.append(v)
+        if seen != n:
+            bad = [i for i in range(n) if indeg[i] > 0][:10]
+            raise ValueError(f"combinational cycle through nodes {bad}")
 
     max_level = int(level.max()) if n else 0
 
