@@ -62,6 +62,31 @@ def test_convert_plain(tmp_path):
     assert normalize(got) == normalize(want)
 
 
+def test_convert_tfhe(tmp_path, toy_sk):
+    """test.rb:196-223: encrypted-packet field remapping."""
+    skf = str(tmp_path / "sk")
+    toy_sk.save(skf)
+    p0, p1, p2 = (str(tmp_path / f"p{i}") for i in range(3))
+    packet_cli.main(["toml2packet", "--in", fixture("in/test00.in"), "--out", p0])
+    packet_cli.main(["toml2packet", "--in", fixture("out/test08.out"), "--out", p1])
+    packet_cli.main(["toml2packet", "--in", fixture("in/test03.in"), "--out", p2])
+    for p in (p0, p1, p2):
+        packet_cli.main(["enc", "--key", skf, "--in", p, "--out", p])
+    packet_cli.main([
+        "convert", "-i", "a", p0, "-i", "b", p1, "-i", "c", p2,
+        "--out", p2,
+        "rom.foo = a.rom", "ram.bar = a.ramB", "bits.baz = b.rdata",
+        "ram.hoge = b.target", "bits.piyo = c.hoge",
+    ])
+    packet_cli.main(["dec", "--key", skf, "--in", p2, "--out", p2])
+    got = _p2t(p2)
+    want = packet_mod.PlainPacket.from_toml_file(fixture("in/test17.in"))
+    got.num_cycles = want.num_cycles
+    # ROM entries decrypt with TRLWE padding to a polynomial multiple
+    got.rom = {k: v[: len(want.rom[k])] for k, v in got.rom.items()}
+    assert normalize(got) == normalize(want)
+
+
 def test_plain_cli_run_and_chain(tmp_path):
     """plain-addr-addr-4bit-20 (test.rb:487-513): run, remap outputs to
     inputs, run again."""
