@@ -189,7 +189,7 @@ def tlwe0_phase(sk: SecretKey, ct: np.ndarray) -> np.ndarray:
 def encrypt_bits(sk: SecretKey, bits: np.ndarray, rng) -> np.ndarray:
     """Reference ``encryptBits`` (src/packet.hpp:68-76): bit -> TLWE(+-1/8)."""
     mu = np.uint32(sk.params.mu)
-    msg = np.where(np.asarray(bits, bool), mu, np.uint32(0) - mu)
+    msg = np.where(np.asarray(bits, bool), mu, (~(mu) + np.uint32(1)))
     return tlwe0_encrypt(sk, msg, rng)
 
 
@@ -203,7 +203,7 @@ def trivial_tlwe0(params: Params, bits: np.ndarray) -> np.ndarray:
     bits = np.asarray(bits, bool)
     out = np.zeros(bits.shape + (params.n + 1,), np.uint32)
     mu = np.uint32(params.mu)
-    out[..., params.n] = np.where(bits, mu, np.uint32(0) - mu)
+    out[..., params.n] = np.where(bits, mu, (~(mu) + np.uint32(1)))
     return out
 
 
@@ -320,7 +320,7 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None,
         )
         msg1 = np.zeros((p.N2, p.pks_t, p.N), np.uint32)
         msg1[..., 0] = scal
-        neg_s1 = (np.uint32(0) - sk.s1.astype(np.uint32)).astype(np.uint32)
+        neg_s1 = ((~(sk.s1.astype(np.uint32)) + np.uint32(1))).astype(np.uint32)
         msg0 = scal[..., None].astype(np.uint32) * neg_s1[None, None, :]
         pksk0 = trlwe1_encrypt(sk, msg0, p.alpha_pks, rng)
         pksk1 = trlwe1_encrypt(sk, msg1, p.alpha_pks, rng)
@@ -348,7 +348,7 @@ def encrypt_rom(sk: SecretKey, bits: np.ndarray, rng) -> np.ndarray:
     n_tr = max(1, -(-bits.size // p.N))
     mu = np.uint32(p.mu)
     coeffs = np.zeros((n_tr * p.N,), np.uint32)
-    coeffs[: bits.size] = np.where(bits, mu, np.uint32(0) - mu)
+    coeffs[: bits.size] = np.where(bits, mu, (~(mu) + np.uint32(1)))
     return trlwe1_encrypt(sk, coeffs.reshape(n_tr, p.N), p.alpha1, rng)
 
 
@@ -364,7 +364,7 @@ def encrypt_ram(sk: SecretKey, bits: np.ndarray, rng) -> np.ndarray:
     bits = np.asarray(bits, bool)
     mu = np.uint32(p.mu)
     coeffs = np.zeros((bits.size, p.N), np.uint32)
-    coeffs[:, 0] = np.where(bits, mu, np.uint32(0) - mu)
+    coeffs[:, 0] = np.where(bits, mu, (~(mu) + np.uint32(1)))
     return trlwe1_encrypt(sk, coeffs, p.alpha1, rng)
 
 

@@ -166,7 +166,7 @@ class TFHEEngine:
         if len(self.c.const_nodes):
             cv = np.where(
                 self.c.const_vals.astype(bool), np.uint32(p.mu),
-                np.uint32(0) - np.uint32(p.mu),
+                (~(np.uint32(p.mu)) + np.uint32(1)),
             )
             vals = vals.at[self.c.const_nodes, p.n].set(jnp.asarray(cv))
         return vals
@@ -198,7 +198,7 @@ class TFHEEngine:
         n_tr = max(1, -(-total_bits // p.N))
         if data is None:
             store = np.zeros((n_tr, 2, p.N), np.uint32)
-            store[:, 1, :] = np.uint32(0) - np.uint32(p.mu)  # all bits 0
+            store[:, 1, :] = (~(np.uint32(p.mu)) + np.uint32(1))  # all bits 0
         else:
             store = np.asarray(data, np.uint32)
             if store.shape[0] != n_tr:
@@ -210,7 +210,7 @@ class TFHEEngine:
         if data is None:
             store = np.zeros(((1 << addr_width), data_width, 2, p.N),
                              np.uint32)
-            store[..., 1, 0] = np.uint32(0) - np.uint32(p.mu)
+            store[..., 1, 0] = (~(np.uint32(p.mu)) + np.uint32(1))
         else:
             data = np.asarray(data, np.uint32)
             if data.shape[0] != (1 << addr_width) * data_width:
