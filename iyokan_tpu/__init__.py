@@ -30,8 +30,27 @@ Subpackages:
 # explicit, so instead of the global x64 flag (which changes default dtypes
 # AND breaks Mosaic/Pallas lowering with 64-bit index types) we only allow
 # explicitly-requested 64-bit dtypes.
+import os as _os
+
 import jax
 
 jax.config.update("jax_explicit_x64_dtypes", "allow")
+
+# Persistent XLA compilation cache: CLI invocations recompile the same
+# bucketed kernels otherwise (minutes per fresh process on remote TPU).
+_cache = _os.environ.get(
+    "IYOKAN_COMPILE_CACHE",
+    _os.path.join(
+        _os.environ.get("XDG_CACHE_HOME", _os.path.expanduser("~/.cache")),
+        "iyokan-tpu", "xla",
+    ),
+)
+if _cache and _cache != "off":
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
 
 __version__ = "0.1.0"
