@@ -387,19 +387,26 @@ def circuit_bootstrap(tlwe0: jnp.ndarray, bk2_prep: jnp.ndarray,
     reference (src/iyokan_tfhepp.hpp:194-213).
     """
     G = tlwe0.shape[0]
-    rows = []
-    parts = {0: [], 1: []}
-    for j in range(1, p.l + 1):
-        muj = c64(1 << (64 - j * p.Bgbit - 1))
-        testv = jnp.full((p.N2,), muj, jnp.uint64)
-        acc2 = blind_rotate2(tlwe0, bk2_prep, testv, p, backend)
-        tl2 = sample_extract2(acc2, 0)
-        tl2 = tl2.at[..., p.N2].add(muj)
-        for part in (0, 1):
-            parts[part].append(privks(tl2, pksk_mats[part], part, p))
-    # rows: part-major (part 0 digits then part 1 digits)
-    all_rows = parts[0] + parts[1]
-    return jnp.stack(all_rows, axis=-3)                  # [G, 2l, 2, N]
+    # All l per-digit rotations share the same phase, so they run as ONE
+    # batch of l*G rows with per-row test vectors (the reference performs
+    # l separate bootstraps per CB).
+    mus = np.array(
+        [1 << (64 - j * p.Bgbit - 1) for j in range(1, p.l + 1)], np.uint64
+    )
+    testv = jnp.repeat(jnp.asarray(mus, u64)[:, None], p.N2, axis=1)  # [l,N2]
+    testv = jnp.repeat(testv, G, axis=0)                 # [l*G, N2]
+    batch = jnp.tile(tlwe0, (p.l, 1))                    # [l*G, n+1]
+    acc2 = blind_rotate2(batch, bk2_prep, testv, p, backend)
+    tl2 = sample_extract2(acc2, 0)                       # [l*G, N2+1]
+    tl2 = tl2.at[..., p.N2].add(
+        jnp.repeat(jnp.asarray(mus, u64), G, axis=0)
+    )
+    parts = []
+    for part in (0, 1):
+        r = privks(tl2, pksk_mats[part], part, p)        # [l*G, 2, N]
+        parts.append(r.reshape(p.l, G, 2, p.N))
+    rows = jnp.concatenate(parts, axis=0)                # [2l, G, 2, N]
+    return jnp.moveaxis(rows, 0, -3)                     # [G, 2l, 2, N]
 
 
 # --------------------------------------------------------------------------- #

@@ -351,9 +351,27 @@ class TFHEEngine:
     def settle(self, vals, rams, roms):
         """Host-driven sweep: one jitted call per level (bucketed shapes)
         plus per-instance memory calls."""
+        import os
+        import time
+
+        profile = bool(os.environ.get("IYOKAN_PROFILE"))
+
+        def mark(tag):
+            if profile:
+                jax.block_until_ready(vals)
+                _ = np.asarray(vals[0, 0])  # force through the transfer sync
+                now = time.time()
+                dt = now - mark.t0
+                mark.t0 = now
+                if dt > 0.005:
+                    print(f"    [profile] {tag}: {dt*1e3:.0f} ms", flush=True)
+
+        mark.t0 = time.time()
         keys = self.keys
         ram_sel: Dict[str, jnp.ndarray] = {}
-        for plan, pp in zip(self.c.levels, self._padded_plans):
+        for lv, (plan, pp) in enumerate(
+            zip(self.c.levels, self._padded_plans)
+        ):
             if pp["nb"] or pp["nm"]:
                 fn = self._level_fn(pp["nb"], pp["nm"])
                 vals = fn(
@@ -362,21 +380,28 @@ class TFHEEngine:
                     pp["bin_out"], pp["mux_a"], pp["mux_b"], pp["mux_s"],
                     pp["mux_out"],
                 )
+                mark(f"level {lv+1} gates ({pp['nb']}+{pp['nm']}mux)")
             if len(pp["not_out"]) or len(pp["copy_out"]):
                 vals = self._simple(vals, pp)
+                mark(f"level {lv+1} simple")
             for name in plan.rom_reads:
                 vals = self._mem_fn("rom", name)(keys, vals, roms[name])
+                mark(f"level {lv+1} rom {name}")
             for name in plan.ram_reads:
                 vals, gn = self._mem_fn("ram_read", name)(
                     keys, vals, rams[name]
                 )
                 ram_sel[name] = gn
+                mark(f"level {lv+1} ram-read {name}")
 
         new_rams = {}
         for name, store in rams.items():
             new_rams[name] = self._mem_fn("ram_write", name)(
                 keys, vals, store, ram_sel[name]
             )
+            if profile:
+                jax.block_until_ready(new_rams[name])
+            mark(f"ram-write {name}")
         return vals, new_rams
 
     def _simple(self, vals, pp):
