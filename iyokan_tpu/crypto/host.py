@@ -123,20 +123,28 @@ class EvalKey:
     bk2: np.ndarray
     ksk: np.ndarray
     pksk: np.ndarray
+    # 2-bit key-unrolled bootstrapping key: TRGSW_lvl1 of
+    # (s_2i*(1-s_2i+1), s_2i+1*(1-s_2i), s_2i*s_2i+1) per key-bit pair --
+    # halves the sequential depth of the blind rotation.
+    bku: np.ndarray = None
 
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
             np.savez(
                 f, kind="eval-key", params=self.params.name,
                 bk=self.bk, bk2=self.bk2, ksk=self.ksk, pksk=self.pksk,
+                bku=(self.bku if self.bku is not None
+                     else np.zeros((0,), np.uint32)),
             )
 
     @staticmethod
     def load(path: str) -> "EvalKey":
         z = np.load(path, allow_pickle=False)
         assert str(z["kind"]) == "eval-key", "not an eval key file"
+        bku = z["bku"] if "bku" in z.files and z["bku"].size else None
         return EvalKey(
-            by_name(str(z["params"])), z["bk"], z["bk2"], z["ksk"], z["pksk"]
+            by_name(str(z["params"])), z["bk"], z["bk2"], z["ksk"], z["pksk"],
+            bku,
         )
 
 
@@ -287,6 +295,22 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None,
         zeros[:, p.l + j, 1, 0] += g
     bk = zeros
 
+    # --- 2-bit unrolled gate bootstrapping key ------------------------------
+    # pair i covers key bits (2i, 2i+1) (odd n padded with a zero bit);
+    # messages (sa*(1-sb), sb*(1-sa), sa*sb) select among
+    # {1, X^a1, X^a2, X^(a1+a2)} in one fused 3-product step.
+    s0p = np.concatenate([sk.s0, np.zeros((-len(sk.s0)) % 2, np.uint8)])
+    sa, sb = s0p[0::2].astype(np.uint64), s0p[1::2].astype(np.uint64)
+    msgs = np.stack([sa * (1 - sb), sb * (1 - sa), sa * sb], axis=1)  # [n2,3]
+    zu = trlwe1_encrypt(
+        sk, np.zeros((len(sa), 3, 2 * p.l, p.N), np.uint32), p.alpha1, rng
+    )
+    for j in range(p.l):
+        g = (msgs << np.uint64(32 - (j + 1) * p.Bgbit)).astype(np.uint32)
+        zu[:, :, j, 0, 0] += g
+        zu[:, :, p.l + j, 1, 0] += g
+    bku = zu
+
     # --- circuit bootstrapping key: TRGSW_lvl2(s0_i) ------------------------
     if with_cb:
         z2 = trlwe2_encrypt(
@@ -329,7 +353,8 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None,
         pksk = np.zeros((2, 0, p.pks_t, 2, p.N), np.uint32)
 
     return EvalKey(p, bk.astype(np.uint32), bk2.astype(np.uint64),
-                   ksk.astype(np.uint32), pksk.astype(np.uint32))
+                   ksk.astype(np.uint32), pksk.astype(np.uint32),
+                   bku.astype(np.uint32))
 
 
 # --------------------------------------------------------------------------- #

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -281,14 +282,15 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
     import os as _os
 
     impl = _os.environ.get("IYOKAN_BR_IMPL")
-    if impl == "pallas":
-        from ..ops.pallas_br import blind_rotate_pallas
+    if bk_prep.shape[-4] == 2 * p.l:  # pallas kernels: plain key layout only
+        if impl == "pallas":
+            from ..ops.pallas_br import blind_rotate_pallas
 
-        return blind_rotate_pallas(tlwe0, bk_prep, testv, p)
-    if impl == "pallas2":
-        from ..ops.pallas_br2 import blind_rotate_pallas2
+            return blind_rotate_pallas(tlwe0, bk_prep, testv, p)
+        if impl == "pallas2":
+            from ..ops.pallas_br2 import blind_rotate_pallas2
 
-        return blind_rotate_pallas2(tlwe0, bk_prep, testv, p)
+            return blind_rotate_pallas2(tlwe0, bk_prep, testv, p)
 
     be = backend or polymul.get_backend()
     G = tlwe0.shape[0]
@@ -299,6 +301,41 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
         jnp.broadcast_to(testv, (G, p.N)), (-bbar) % (2 * p.N), p.N
     )
     acc = jnp.stack([jnp.zeros((G, p.N), u32), acc_b], axis=1)  # [G, 2, N]
+
+    # bk row count distinguishes the plain key (2l rows/step) from the
+    # 2-bit unrolled key (3*2l rows per key-bit *pair*): the unrolled form
+    #   X^(a1 s1 + a2 s2) = 1 + s1(1-s2)(X^a1 - 1) + s2(1-s1)(X^a2 - 1)
+    #                         + s1 s2 (X^(a1+a2) - 1)
+    # halves the sequential depth at 1.5x products per consumed key bit,
+    # fused into one 3*2l-row external product.
+    if bk_prep.shape[-4] == 6 * p.l:
+        nh = bk_prep.shape[0]
+        pad = 2 * nh - p.n
+        if pad:
+            abar = jnp.concatenate(
+                [abar, jnp.zeros((G, pad), abar.dtype)], axis=1
+            )
+        a1s = abar[:, 0::2]
+        a2s = abar[:, 1::2]
+        a12s = (a1s + a2s) % (2 * p.N)
+
+        def body(i, acc):
+            sh = acc.shape[:-1]
+            d = jnp.concatenate(
+                [
+                    decompose1(
+                        rot_poly(acc, jnp.broadcast_to(
+                            aa[:, i][:, None], sh), p.N) - acc, p
+                    )
+                    for aa in (a1s, a2s, a12s)
+                ],
+                axis=-2,
+            )                                            # [G, 3*2l, N]
+            g = jax.lax.dynamic_index_in_dim(bk_prep, i, axis=0,
+                                             keepdims=False)
+            return acc + be.extprod1(d, g, p)
+
+        return jax.lax.fori_loop(0, nh, body, acc)
 
     def body(i, acc):
         r = abar[:, i][:, None]                          # [G, 1] per part
@@ -438,7 +475,13 @@ class DeviceKeys:
         if ek.bk2.shape[0] == 0:
             with_cb = False
 
-        bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
+        if ek.bku is not None and not os.environ.get("IYOKAN_NO_UNROLL"):
+            bk_src = ek.bku.reshape(
+                ek.bku.shape[0], 3 * 2 * p.l, 2, p.N
+            )
+        else:
+            bk_src = ek.bk
+        bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bk_src))
         ksk_mat = jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1))
 
         if with_cb:
