@@ -56,7 +56,8 @@ def main():
     @jax.jit
     def nand_batch(keys, A, B, ca, cb, kk):
         pre = ops.gate_linear(A, B, ca, cb, kk, p)
-        t1 = ops.gate_bootstrap_tlwe1(pre, keys.bkntt, p, keys.backend)
+        t1 = ops.gate_bootstrap_tlwe1(pre, keys.bk_for(G), p,
+                                      keys.backend)
         return ops.keyswitch_10(t1, keys.ksk_mat, p)
 
     t0 = time.time()

@@ -466,6 +466,16 @@ class DeviceKeys:
     ksk_mat: jnp.ndarray    # u32 [N*t, n+1]
     bk2ntt: jnp.ndarray     # backend-prepared BK2, leading [n] axis (or [0])
     pksk_mats: Tuple[jnp.ndarray, jnp.ndarray]  # u32 [N2*t21, 2N] each
+    bkuntt: jnp.ndarray = None  # 2-bit-unrolled BK prep (latency path)
+
+    def bk_for(self, batch: int) -> jnp.ndarray:
+        """Unrolled key for small (latency-bound) batches, plain key for
+        large (throughput-bound) ones: unrolling halves sequential depth at
+        1.5x products per key bit."""
+        thr = int(os.environ.get("IYOKAN_UNROLL_MAX", "256"))
+        if self.bkuntt is not None and batch <= thr:
+            return self.bkuntt
+        return self.bkntt
 
     @staticmethod
     def from_evalkey(ek: EvalKey, with_cb: bool = True,
@@ -475,13 +485,11 @@ class DeviceKeys:
         if ek.bk2.shape[0] == 0:
             with_cb = False
 
+        bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
+        bkuntt = None
         if ek.bku is not None and not os.environ.get("IYOKAN_NO_UNROLL"):
-            bk_src = ek.bku.reshape(
-                ek.bku.shape[0], 3 * 2 * p.l, 2, p.N
-            )
-        else:
-            bk_src = ek.bk
-        bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bk_src))
+            bku = ek.bku.reshape(ek.bku.shape[0], 3 * 2 * p.l, 2, p.N)
+            bkuntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bku))
         ksk_mat = jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1))
 
         if with_cb:
@@ -501,13 +509,14 @@ class DeviceKeys:
                 jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
                 jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
             )
-        return DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats)
+        return DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats,
+                          bkuntt)
 
 
 jax.tree_util.register_pytree_node(
     DeviceKeys,
     lambda dk: (
-        (dk.bkntt, dk.ksk_mat, dk.bk2ntt, dk.pksk_mats),
+        (dk.bkntt, dk.ksk_mat, dk.bk2ntt, dk.pksk_mats, dk.bkuntt),
         (dk.params, dk.backend),
     ),
     lambda aux, children: DeviceKeys(aux[0], aux[1], *children),

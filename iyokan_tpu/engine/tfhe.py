@@ -123,8 +123,8 @@ class TFHEEngine:
                     pre2 = (Av - S).at[:, p.n].add(u32(0) - mu)
                     pres.extend([pre1, pre2])
                 batch = shard_batch(jnp.concatenate(pres, axis=0))
-                t1 = ops.gate_bootstrap_tlwe1(batch, keys.bkntt, p,
-                                              keys.backend)
+                t1 = ops.gate_bootstrap_tlwe1(batch, keys.bk_for(nb + 2 * nm),
+                                              p, keys.backend)
                 rows = []
                 if nb:
                     rows.append(t1[:nb])
@@ -313,8 +313,8 @@ class TFHEEngine:
         pre1 = (wren[None, :] + wdata).at[:, p.n].add(u32(0) - mu)
         pre2 = (rdata - wren[None, :]).at[:, p.n].add(u32(0) - mu)
         testv = jnp.full((p.N,), mu)
-        tr = ops.blind_rotate(jnp.concatenate([pre1, pre2]), keys.bkntt,
-                              testv, p, keys.backend)
+        tr = ops.blind_rotate(jnp.concatenate([pre1, pre2]),
+                              keys.bk_for(2 * w), testv, p, keys.backend)
         written = tr[:w] + tr[w:]
         written = written.at[:, 1, 0].add(mu)        # [w, 2, N]
 
@@ -331,8 +331,8 @@ class TFHEEngine:
         lvl1 = ops.sample_extract(acc, 0)            # [2^a, w, N+1]
         flat = shard_batch(lvl1.reshape((1 << a) * w, p.N + 1))
         tlwe0 = ops.keyswitch_10(flat, keys.ksk_mat, p)
-        fresh = ops.blind_rotate(tlwe0, keys.bkntt, testv, p,
-                                 keys.backend)
+        fresh = ops.blind_rotate(tlwe0, keys.bk_for((1 << a) * w), testv,
+                                 p, keys.backend)
         return fresh.reshape(1 << a, w, 2, p.N)
 
     # ------------------------------------------------------------------ #
