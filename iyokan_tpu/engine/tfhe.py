@@ -44,6 +44,13 @@ class TFHEEngine:
         self.d = compiled.design
         self.p = eval_key.params
         needs_cb = bool(self.d.rom_insts or self.d.ram_insts)
+        if needs_cb and eval_key.bk2.shape[0] == 0:
+            # reference: CMUX memories require the circuit(-bootstrapping)
+            # key (needsCircuitKey, src/iyokan.hpp:1897-1906)
+            raise ValueError(
+                "blueprint uses CMUX ROM/RAM but the eval key has no "
+                "circuit-bootstrapping material (generate with with_cb=True)"
+            )
         self.keys = ops.DeviceKeys.from_evalkey(eval_key, with_cb=needs_cb)
         self._tick = jax.jit(self._tick_impl)
         # jitted entry points take the keys as arguments (pytree), never as
