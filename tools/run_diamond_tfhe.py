@@ -12,6 +12,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import logging
+logging.basicConfig(level=logging.INFO, format="[%(levelname)s] %(message)s")
+
 import numpy as np
 
 from iyokan_tpu import packet as packet_mod
