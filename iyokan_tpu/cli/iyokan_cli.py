@@ -108,6 +108,14 @@ def main(argv=None) -> int:
     _common_args(g)
     g.add_argument("--evalkey")
     g.add_argument("--secret-key", dest="secret_key")
+    g.add_argument("--enable-gpu", action="store_true",
+                   help="accepted for compatibility: the reference selects "
+                        "its cuFHE backend; here the TPU is the only "
+                        "accelerator class")
+    g.add_argument("--gpu", type=int, default=None,
+                   help="accepted for compatibility (unused)")
+    g.add_argument("--num-gpu", type=int, default=None,
+                   help="accepted for compatibility (unused)")
 
     args = ap.parse_args(argv)
     level = logging.ERROR if args.quiet else (
