@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Empirical gate-failure measurement at 128-bit parameters on device.
+
+Runs many batches of mixed 2-input gates through the full bootstrap
+pipeline and counts decryption errors; also reports the phase-noise sigma
+against the documented budget (params.py)."""
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from iyokan_tpu import gates, params as params_mod
+from iyokan_tpu.crypto import host, ops
+
+G = int(os.environ.get("ER_G", "4096"))
+BATCHES = int(os.environ.get("ER_BATCHES", "25"))
+
+
+def main():
+    p = params_mod.by_name(os.environ.get("ER_PARAMS", "cggi128"))
+    sk = host.keygen(p, seed=0)
+    ek = host.genevalkey(sk, seed=1, with_cb=False)
+    keys = ops.DeviceKeys.from_evalkey(ek, with_cb=False)
+    rng = np.random.default_rng(99)
+
+    plain = {
+        gates.AND: lambda a, b: a & b,
+        gates.NAND: lambda a, b: 1 - (a & b),
+        gates.ANDNOT: lambda a, b: a & (1 - b),
+        gates.OR: lambda a, b: a | b,
+        gates.NOR: lambda a, b: 1 - (a | b),
+        gates.ORNOT: lambda a, b: a | (1 - b),
+        gates.XOR: lambda a, b: a ^ b,
+        gates.XNOR: lambda a, b: 1 - (a ^ b),
+    }
+    kind_list = list(plain)
+
+    @jax.jit
+    def run(keys, A, B, ca, cb, kk):
+        pre = ops.gate_linear(A, B, ca, cb, kk, p)
+        t1 = ops.gate_bootstrap_tlwe1(pre, keys.bk_for(G), p, keys.backend)
+        return ops.keyswitch_10(t1, keys.ksk_mat, p)
+
+    total = wrong = 0
+    errs = []
+    t0 = time.time()
+    for it in range(BATCHES):
+        kinds = rng.integers(0, len(kind_list), G)
+        a = rng.integers(0, 2, G, dtype=np.uint8)
+        b = rng.integers(0, 2, G, dtype=np.uint8)
+        A = jnp.asarray(host.encrypt_bits(sk, a, rng))
+        B = jnp.asarray(host.encrypt_bits(sk, b, rng))
+        lin = np.array([gates.GATE_LIN[kind_list[k]] for k in kinds], np.int32)
+        out = np.asarray(run(keys, A, B, jnp.asarray(lin[:, 0]),
+                             jnp.asarray(lin[:, 1]), jnp.asarray(lin[:, 2])))
+        got = host.decrypt_bits(sk, out)
+        want = np.array(
+            [plain[kind_list[k]](int(x), int(y))
+             for k, x, y in zip(kinds, a, b)], np.uint8
+        )
+        wrong += int((got != want).sum())
+        total += G
+        phase = host.tlwe0_phase(sk, out).astype(np.int64)
+        signed = np.where(phase > 1 << 31, phase - (1 << 32), phase)
+        err = np.where(want == 1, signed - p.mu, signed + p.mu)
+        errs.append(err)
+        print(f"batch {it+1}/{BATCHES}: cumulative errors {wrong}/{total}",
+              flush=True)
+
+    err = np.concatenate(errs)
+    sigma = err.std() / 2.0 ** 32
+    print(f"\n{total} gates, {wrong} wrong "
+          f"(rate {wrong/total:.2e})")
+    print(f"phase sigma = 2^{math.log2(sigma):.2f} "
+          f"(threshold 1/16 = 2^-4; margin {(1/16)/sigma:.1f} sigma)")
+    print(f"wall: {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
