@@ -15,7 +15,7 @@ bit-reproducible across platforms.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

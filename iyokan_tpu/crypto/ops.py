@@ -20,7 +20,6 @@ negacyclic products run through the two-prime CRT NTT (crypto/ntt.py).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import Tuple
 
@@ -28,9 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import gates
 from ..params import Params
-from . import ntt, polymul
+from . import polymul
 from .polymul import c64
 from .host import EvalKey
 

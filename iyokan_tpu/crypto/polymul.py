@@ -41,7 +41,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import List, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ the precompiled levels.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

@@ -23,7 +23,7 @@ Built-in CMUX memories follow the reference dataflow exactly
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

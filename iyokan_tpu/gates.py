@@ -7,8 +7,6 @@ the structural node types of the levelized executor.
 
 from __future__ import annotations
 
-import numpy as np
-
 AND = 0
 NAND = 1
 ANDNOT = 2

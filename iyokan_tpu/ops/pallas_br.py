@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..crypto import polymul
-from ..crypto.polymul import PRIMES1, _centered, center_reduce, tables
+from ..crypto.polymul import PRIMES1, center_reduce, tables
 from ..params import Params
 
 u32 = jnp.uint32

@@ -20,12 +20,11 @@ import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..crypto import polymul
-from ..crypto.polymul import PRIMES1, _centered, center_reduce, tables
+from ..crypto.polymul import PRIMES1
 from ..params import Params
 from .pallas_br import TABLE_FIELDS, _step_tables, _table_shape
 

@@ -26,7 +26,6 @@ from typing import Dict, Optional
 import numpy as np
 
 from .crypto import host
-from .params import by_name
 
 
 def bits_from_bytes(byts, size: int) -> np.ndarray:
