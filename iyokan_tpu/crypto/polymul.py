@@ -298,6 +298,50 @@ def tables(N: int, primes: Tuple[int, ...]) -> Tuple[_PrimeTab, ...]:
     return tuple(out)
 
 
+@functools.lru_cache(maxsize=None)
+def full_fwd_tables(N: int, primes: Tuple[int, ...]):
+    """Whole forward NTT as ONE [N, N] matrix per prime (radix-256 limbs).
+
+    Same slot layout as the 4-step `_fwd` (flat index q*C+s holds frequency
+    s*R+q): column f of the matrix is psi^i * w^(i*k(f)) centered mod p,
+    i.e. exponent i*(2*k+1) of psi.  Used for the *digit* transforms, whose
+    inputs fit one int8 limb: the whole transform is then a single K=N int8
+    matmul pair on the MXU with two Barrett reductions -- no t-twist int32
+    multiplies, no intermediate stage reductions.
+    """
+    R, C = _split_rc(N)
+    q = np.arange(R, dtype=np.int64)[:, None]
+    s = np.arange(C, dtype=np.int64)[None, :]
+    k_of_flat = (s * R + q).reshape(-1)            # [N] frequency per slot
+    i = np.arange(N, dtype=np.int64)[:, None]
+    e = (i * (2 * k_of_flat[None, :] + 1)) % (2 * N)
+    out = []
+    for p in primes:
+        g = _generator(p)
+        psi = pow(g, (p - 1) // (2 * N), p)
+        psi_pows = np.empty(2 * N, np.int64)
+        v = 1
+        for j in range(2 * N):
+            psi_pows[j] = v
+            v = v * psi % p
+        F = psi_pows[e]
+        Fc = np.where(F > p // 2, F - p, F)
+        fh, fl = _limbs_i8(Fc)
+        out.append((fh.astype(np.int8), fl.astype(np.int8)))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _use_full_fwd() -> bool:
+    """Full-matrix digit NTT needs an exact int32 accumulator (sums of N
+    radix-256 limb products exceed f32's 24-bit mantissa), so it is only
+    sound with the int8->s32 MXU configuration."""
+    v = os.environ.get("IYOKAN_FWD_FULL")
+    if v is not None:
+        return v not in ("", "0")
+    return _mm_dtypes()[1] == jnp.int32
+
+
 def garner_mod32(res, primes) -> jnp.ndarray:
     """Mixed-radix CRT directly mod 2^32 (never forms the big integer).
 
@@ -443,6 +487,20 @@ def _fwd(x: jnp.ndarray, N: int, tab: _PrimeTab, small_input: bool,
     return z.reshape(*lead, N)
 
 
+def fwd_digits(x: jnp.ndarray, N: int, primes: Tuple[int, ...], pi: int,
+               tab: _PrimeTab) -> jnp.ndarray:
+    """Forward NTT of gadget digits (one int8 limb of input).
+
+    Dispatches to the single-matmul path when the accumulator is exact
+    int32 (TPU); otherwise the 4-step small-input path.
+    """
+    if _use_full_fwd() and _mm_dtypes()[1] == jnp.int32:
+        fh, fl = full_fwd_tables(N, primes)[pi]
+        zh = center_reduce(_mm(x, jnp.asarray(fh)), tab.p)
+        return center_reduce((zh << 8) + _mm(x, jnp.asarray(fl)), tab.p)
+    return _fwd(x, N, tab, small_input=True)
+
+
 def _inv(x: jnp.ndarray, N: int, tab: _PrimeTab, consts=None) -> jnp.ndarray:
     """Inverse negacyclic NTT; consumes the _fwd slot layout."""
     R, C = _split_rc(N)
@@ -494,7 +552,7 @@ class MXUBackend:
         tabs = tables(p.N, PRIMES1)
         res = []
         for pi, tab in enumerate(tabs):
-            dn = _fwd(digits, p.N, tab, small_input=True)
+            dn = fwd_digits(digits, p.N, PRIMES1, pi, tab)
             g = prep[..., :, :, pi, :]                 # [..., RR, 2, N]
             prod = dn[..., :, None, :] * g
             chunk = _pointwise_chunk(tab.p)
@@ -512,6 +570,10 @@ class MXUBackend:
         """rows u64 [..., RR, 2, N2] -> int32 [..., RR, 2, P2*4, N2]
         (16-bit limbs: |conv_limb| <= 10*128*2^16*2^11 < 2^38, within the
         3-prime range 2^41.9)."""
+        # Guard against the explicit-x64 foot-gun: jnp.asarray / jit silently
+        # demote uint64 inputs to uint32 unless converted with an explicit
+        # dtype, which would drop the rows' high halves here.
+        assert rows_u64.dtype == jnp.uint64, rows_u64.dtype
         tabs = tables(p.N2, PRIMES2)
         outs = []
         for tab in tabs:
@@ -526,7 +588,8 @@ class MXUBackend:
     def extprod2(self, digits: jnp.ndarray, prep: jnp.ndarray,
                  p: Params) -> jnp.ndarray:
         tabs = tables(p.N2, PRIMES2)
-        dn = [_fwd(digits, p.N2, tab, small_input=True) for tab in tabs]
+        dn = [fwd_digits(digits, p.N2, PRIMES2, pi, tab)
+              for pi, tab in enumerate(tabs)]
         primes = tuple(t.p for t in tabs)
 
         acc = None
@@ -574,6 +637,7 @@ class CRT64Backend:
         return crt64ntt.crt_center(outs[0], outs[1]).astype(u32)
 
     def prep2(self, rows_u64: jnp.ndarray, p: Params) -> jnp.ndarray:
+        assert rows_u64.dtype == jnp.uint64, rows_u64.dtype
         lo = (rows_u64 & c64(0xFFFFFFFF)).astype(jnp.int64)
         hi = (rows_u64 >> np.uint64(32)).astype(jnp.int64)
         halves = jnp.stack([lo, hi], axis=-2)         # [..., RR, 2, 2, N2]

@@ -34,3 +34,33 @@ def test_crt_center():
     r2 = jnp.asarray(vals % ntt.P2)
     got = ntt.crt_center(r1, r2)
     np.testing.assert_array_equal(np.asarray(got), vals)
+
+
+def test_full_fwd_matches_4step():
+    """Single-matmul digit NTT (int8/s32 config) is bit-identical to the
+    4-step transform for every prime at both levels."""
+    import numpy as np
+    import jax.numpy as jnp
+    from iyokan_tpu.crypto import polymul as pm
+
+    rng = np.random.default_rng(7)
+    for N, primes, bound in ((1024, pm.PRIMES1, 32), (2048, pm.PRIMES2, 128)):
+        tabs = pm.tables(N, primes)
+        x = rng.integers(-bound, bound, size=(3, N)).astype(np.int32)
+        x[0, 0], x[0, 1] = bound - 1, -bound
+        for pi, tab in enumerate(tabs):
+            import jax
+            ref = np.asarray(jax.jit(
+                lambda v: pm._fwd(v, N, tab, small_input=True)
+            )(jnp.asarray(x)))
+            fh, fl = pm.full_fwd_tables(N, primes)[pi]
+            # emulate the int32-accumulator matmul exactly in numpy
+            zh = x.astype(np.int64) @ fh.astype(np.int64)
+            zl = x.astype(np.int64) @ fl.astype(np.int64)
+
+            def cred(v, p=tab.p):
+                r = v % p
+                return np.where(r > p // 2, r - p, r)
+
+            got = cred((cred(zh) << 8) + zl)
+            assert np.array_equal(ref, got), (N, tab.p)
