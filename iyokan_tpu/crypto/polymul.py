@@ -501,6 +501,62 @@ def fwd_digits(x: jnp.ndarray, N: int, primes: Tuple[int, ...], pi: int,
     return _fwd(x, N, tab, small_input=True)
 
 
+@functools.lru_cache(maxsize=None)
+def full_inv_tables(N: int, primes: Tuple[int, ...]):
+    """Whole inverse NTT as ONE [N, N] matrix per prime (radix-256 limbs),
+    consuming the `_fwd` slot layout: row f = q*C+s (holding frequency
+    k = s*R+q) of the matrix is ninv * psi^(-i*(2k+1)) at column i."""
+    R, C = _split_rc(N)
+    q = np.arange(R, dtype=np.int64)[:, None]
+    s = np.arange(C, dtype=np.int64)[None, :]
+    k_of_flat = (s * R + q).reshape(-1)
+    i = np.arange(N, dtype=np.int64)[None, :]
+    e = (i * (2 * k_of_flat[:, None] + 1)) % (2 * N)
+    out = []
+    for p in primes:
+        g = _generator(p)
+        psi = pow(g, (p - 1) // (2 * N), p)
+        ninv = pow(N, p - 2, p)
+        ipsi = pow(psi, p - 2, p)
+        ipsi_pows = np.empty(2 * N, np.int64)  # ipsi_pows[j] = ninv*ipsi^j
+        v = ninv
+        for j in range(2 * N):
+            ipsi_pows[j] = v
+            v = v * ipsi % p
+        F = ipsi_pows[e]
+        Fc = np.where(F > p // 2, F - p, F)
+        fh, fl = _limbs_i8(Fc)
+        out.append((fh.astype(np.int8), fl.astype(np.int8)))
+    return tuple(out)
+
+
+def inv_full(x: jnp.ndarray, N: int, primes: Tuple[int, ...], pi: int,
+             tab: _PrimeTab) -> jnp.ndarray:
+    """Inverse NTT via the single-matmul path (int32 accumulators only).
+
+    Full-range input splits into two radix-256 limbs; the partials
+    recombine with two Barretts so every intermediate stays in int32.
+    """
+    fh, fl = full_inv_tables(N, primes)[pi]
+    p = tab.p
+    x0 = ((x + 128) & 255) - 128
+    x1 = (x - x0) >> 8
+    fh_j, fl_j = jnp.asarray(fh), jnp.asarray(fl)
+    z11 = center_reduce(_mm(x1, fh_j), p)
+    zmid = center_reduce(_mm(x1, fl_j) + _mm(x0, fh_j), p)
+    return center_reduce(
+        z11 * np.int32(_centered(1 << 16, p)) + (zmid << 8) + _mm(x0, fl_j),
+        p,
+    )
+
+
+def _inv_dispatch(x: jnp.ndarray, N: int, primes: Tuple[int, ...], pi: int,
+                  tab: _PrimeTab) -> jnp.ndarray:
+    if _use_full_fwd() and _mm_dtypes()[1] == jnp.int32:
+        return inv_full(x, N, primes, pi, tab)
+    return _inv(x, N, tab)
+
+
 def _inv(x: jnp.ndarray, N: int, tab: _PrimeTab, consts=None) -> jnp.ndarray:
     """Inverse negacyclic NTT; consumes the _fwd slot layout."""
     R, C = _split_rc(N)
@@ -562,7 +618,7 @@ class MXUBackend:
                 part = prod[..., j0 : j0 + chunk, :, :].sum(axis=-3, dtype=i32)
                 s = part if s is None else s + part
                 s = center_reduce(s, tab.p)
-            res.append(_inv(s, p.N, tab))
+            res.append(_inv_dispatch(s, p.N, PRIMES1, pi, tab))
         return garner_mod32(res, tuple(t.p for t in tabs))
 
     # -------------------------- lvl2 (u64) ----------------------------- #
@@ -607,7 +663,7 @@ class MXUBackend:
                     )
                     s = part if s is None else s + part
                     s = center_reduce(s, tab.p)
-                res.append(_inv(s, p.N2, tab))
+                res.append(_inv_dispatch(s, p.N2, PRIMES2, pi, tab))
             c64v = garner_mod64(res, primes)
             term = c64v << np.uint64(16 * l)
             acc = term if acc is None else acc + term
