@@ -75,8 +75,11 @@ PRIMES2 = (12289, 40961, 61441)
 
 
 def _pointwise_chunk(p: int) -> int:
-    """Max j-terms whose centered products can accumulate in int32."""
-    return max(1, (1 << 31) // ((p // 2 + 1) ** 2) - 1)
+    """Max j-terms whose centered products can accumulate in int32.
+
+    After a Barrett the partial is within +-p/2, so `chunk` products (each
+    <= (p//2)^2) fit iff p/2 + chunk*(p//2)^2 < 2^31."""
+    return max(1, ((1 << 31) - 1 - p // 2) // ((p // 2) ** 2))
 
 @functools.lru_cache(maxsize=None)
 def _mm_dtypes():
@@ -342,6 +345,70 @@ def _use_full_fwd() -> bool:
     return _mm_dtypes()[1] == jnp.int32
 
 
+@functools.lru_cache(maxsize=None)
+def _crt_direct_consts(primes: Tuple[int, ...], mod_bits: int):
+    """CRT basis for direct reconstruction mod 2^mod_bits.
+
+    Ek = (P/pk) * ((P/pk)^-1 mod pk): x = sum res_k*Ek - m*P with
+    m = round(sum res_k * Ek/P).  The f32 estimate of m is exact because the
+    true ratio is within |v|/P of an integer (v = the conv result, orders of
+    magnitude below P/2), while the f32 accumulation error is ~2^-7.
+    """
+    P = 1
+    for p in primes:
+        P *= p
+    mask = (1 << mod_bits) - 1
+    Eks, alphas = [], []
+    for p in primes:
+        q = P // p
+        Ek = q * pow(q % p, p - 2, p)
+        Eks.append(Ek & mask)
+        alphas.append(np.float32(Ek / P))
+    return tuple(Eks), tuple(alphas), P & mask
+
+
+def crt_direct_mod32(res, primes) -> jnp.ndarray:
+    """Direct CRT mod 2^32: ~2x fewer VPU ops than Garner (no Barrett
+    chain; one u32 MAC per prime plus one f32 dot for the mP correction)."""
+    Eks, alphas, Pm = _crt_direct_consts(primes, 32)
+    out = res[0].astype(u32) * u32(Eks[0])
+    mf = res[0].astype(f32) * alphas[0]
+    for k in range(1, len(primes)):
+        out = out + res[k].astype(u32) * u32(Eks[k])
+        mf = mf + res[k].astype(f32) * alphas[k]
+    m = jnp.round(mf).astype(i32).astype(u32)
+    return out - m * u32(Pm)
+
+
+def crt_direct_mod64(res, primes) -> jnp.ndarray:
+    """Direct CRT mod 2^64 (same construction as crt_direct_mod32)."""
+    Eks, alphas, Pm = _crt_direct_consts(primes, 64)
+    out = res[0].astype(jnp.int64).astype(u64) * c64(Eks[0])
+    mf = res[0].astype(f32) * alphas[0]
+    for k in range(1, len(primes)):
+        out = out + res[k].astype(jnp.int64).astype(u64) * c64(Eks[k])
+        mf = mf + res[k].astype(f32) * alphas[k]
+    m = jnp.round(mf).astype(jnp.int64).astype(u64)
+    return out - m * c64(Pm)
+
+
+@functools.lru_cache(maxsize=None)
+def _use_direct_crt() -> bool:
+    return os.environ.get("IYOKAN_CRT", "direct") != "garner"
+
+
+def crt_mod32(res, primes) -> jnp.ndarray:
+    if _use_direct_crt():
+        return crt_direct_mod32(res, primes)
+    return garner_mod32(res, primes)
+
+
+def crt_mod64(res, primes) -> jnp.ndarray:
+    if _use_direct_crt():
+        return crt_direct_mod64(res, primes)
+    return garner_mod64(res, primes)
+
+
 def garner_mod32(res, primes) -> jnp.ndarray:
     """Mixed-radix CRT directly mod 2^32 (never forms the big integer).
 
@@ -487,14 +554,147 @@ def _fwd(x: jnp.ndarray, N: int, tab: _PrimeTab, small_input: bool,
     return z.reshape(*lead, N)
 
 
+@functools.lru_cache(maxsize=None)
+def twist_tables(N: int, primes: Tuple[int, ...]):
+    """Batched-twist 2-stage NTT tables.
+
+    The per-element twiddle multiplies of the 4-step transform (the only
+    int32 multiplies it needs on the VPU) fold into the stage matrices by
+    making the big stage a *batched* matmul over the small radix q:
+
+      fwd:   X[q,s] = sum_c U[q,c] * (T[q,c]*W2[c,s])     '..qc,qcs->..qs'
+      inv:   T2[q,c] = sum_s X[q,s] * (iW1[s,c]*iT[q,c])  '..qs,qsc->..qc'
+
+    MXU cost is the 4-step's (K=128 contractions), ~4x (fwd) / ~7.5x (inv)
+    fewer MACs than the full [N,N] matrices, at one extra Barrett + limb
+    split per transform.  All partial sums stay exact even in f32 (K=128,
+    8-bit limb operands).
+
+    Returns per-prime (tw2_hi, tw2_lo [R,C,C], itw_hi, itw_lo [R,C,C]).
+    """
+    R, C = _split_rc(N)
+    out = []
+    for p in primes:
+        g = _generator(p)
+        psi = pow(g, (p - 1) // (2 * N), p)
+        w = psi * psi % p
+        wc = pow(w, R, p)
+        ipsi = pow(psi, p - 2, p)
+        iw = pow(w, p - 2, p)
+        iwc = pow(wc, p - 2, p)
+        ninv = pow(N, p - 2, p)
+        T = np.array([[pow(w, c * q, p) * pow(psi, c, p) % p
+                       for c in range(C)] for q in range(R)], np.int64)
+        W2 = np.array([[pow(wc, c * s, p) for s in range(C)]
+                       for c in range(C)], np.int64)
+        IW1 = np.array([[pow(iwc, s * c, p) for c in range(C)]
+                        for s in range(C)], np.int64)
+        IT = np.array([[pow(iw, c * q, p) * pow(ipsi, c, p) * ninv % p
+                        for c in range(C)] for q in range(R)], np.int64)
+        tw2 = (T[:, :, None] * W2[None, :, :]) % p           # [q, c, s]
+        itw = (IW1[None, :, :] * IT[:, None, :]) % p         # [q, s, c]
+        tw2 = np.where(tw2 > p // 2, tw2 - p, tw2)
+        itw = np.where(itw > p // 2, itw - p, itw)
+        th, tl = _limbs_i8(tw2)
+        ih, il = _limbs_i8(itw)
+        out.append((th.astype(np.int8), tl.astype(np.int8),
+                    ih.astype(np.int8), il.astype(np.int8)))
+    return tuple(out)
+
+
+def _bmm(a: jnp.ndarray, b: jnp.ndarray, spec: str) -> jnp.ndarray:
+    """Batched small-int matmul on the MXU (batch over the radix axis)."""
+    dt, acc = _mm_dtypes()
+    return jnp.einsum(spec, a.astype(dt), b.astype(dt),
+                      preferred_element_type=acc).astype(i32)
+
+
+def fwd_twist2(x: jnp.ndarray, N: int, primes: Tuple[int, ...], pi: int,
+               tab: _PrimeTab) -> jnp.ndarray:
+    """Forward digit NTT via the batched-twist 2-stage path."""
+    R, C = _split_rc(N)
+    p = tab.p
+    lead = x.shape[:-1]
+    a = x.reshape(*lead, R, C)
+    th, tl, _, _ = twist_tables(N, primes)[pi]
+    w1h = jnp.asarray(tab.w1_hi)
+    w1l = jnp.asarray(tab.w1_lo)
+    u = center_reduce(
+        (_mmT(a, w1h) << 8) + _mmT(a, w1l), p
+    )
+    u0 = ((u + 128) & 255) - 128
+    u1 = (u - u0) >> 8
+    z11 = center_reduce(_bmm(u1, jnp.asarray(th), "...qc,qcs->...qs"), p)
+    zmid = (_bmm(u1, jnp.asarray(tl), "...qc,qcs->...qs")
+            + _bmm(u0, jnp.asarray(th), "...qc,qcs->...qs"))
+    z = center_reduce(
+        z11 * np.int32(_centered(1 << 16, p)) + (zmid << 8)
+        + _bmm(u0, jnp.asarray(tl), "...qc,qcs->...qs"), p
+    )
+    return z.reshape(*lead, N)
+
+
+def inv_twist2(x: jnp.ndarray, N: int, primes: Tuple[int, ...], pi: int,
+               tab: _PrimeTab) -> jnp.ndarray:
+    """Inverse NTT via the batched-twist 2-stage path (fwd slot layout)."""
+    R, C = _split_rc(N)
+    p = tab.p
+    lead = x.shape[:-1]
+    z = x.reshape(*lead, R, C)
+    _, _, ih, il = twist_tables(N, primes)[pi]
+    x0 = ((z + 128) & 255) - 128
+    x1 = (z - x0) >> 8
+    z11 = center_reduce(_bmm(x1, jnp.asarray(ih), "...qs,qsc->...qc"), p)
+    zmid = (_bmm(x1, jnp.asarray(il), "...qs,qsc->...qc")
+            + _bmm(x0, jnp.asarray(ih), "...qs,qsc->...qc"))
+    t2 = center_reduce(
+        z11 * np.int32(_centered(1 << 16, p)) + (zmid << 8)
+        + _bmm(x0, jnp.asarray(il), "...qs,qsc->...qc"), p
+    )
+    iw2h = jnp.asarray(tab.iw2_hi)
+    iw2l = jnp.asarray(tab.iw2_lo)
+    t0 = ((t2 + 128) & 255) - 128
+    t1 = (t2 - t0) >> 8
+    z11b = center_reduce(_mmT(t1, iw2h), p)
+    zmidb = _mmT(t1, iw2l) + _mmT(t0, iw2h)
+    a = center_reduce(
+        z11b * np.int32(_centered(1 << 16, p)) + (zmidb << 8)
+        + _mmT(t0, iw2l), p
+    )
+    return a.reshape(*lead, N)
+
+
+@functools.lru_cache(maxsize=None)
+def _ntt_impl() -> str:
+    """NTT implementation: 'twist2' (default), 'full', or '4step'.
+
+    twist2/full need exact accumulation; twist2's partial sums are exact
+    even in f32 (K<=128 with 8-bit limbs), full needs int32.
+    """
+    v = os.environ.get("IYOKAN_NTT")
+    if v in ("twist2", "full", "4step"):
+        return v
+    if os.environ.get("IYOKAN_FWD_FULL") == "1":
+        return "full"
+    if os.environ.get("IYOKAN_FWD_FULL") == "0":
+        return "4step"
+    # Measured on v5e (G=1024 gate bootstraps): full 2061/s, twist2 884/s
+    # (XLA lowers the batched int8 einsum poorly), 4step 1185/s.  twist2
+    # is the layout of choice *inside* Pallas kernels; full wins under XLA.
+    return "full" if _mm_dtypes()[1] == jnp.int32 else "twist2"
+
+
 def fwd_digits(x: jnp.ndarray, N: int, primes: Tuple[int, ...], pi: int,
                tab: _PrimeTab) -> jnp.ndarray:
     """Forward NTT of gadget digits (one int8 limb of input).
 
-    Dispatches to the single-matmul path when the accumulator is exact
-    int32 (TPU); otherwise the 4-step small-input path.
+    Dispatches on IYOKAN_NTT: batched-twist 2-stage (default), whole-matrix
+    (int32 accumulators only), or the original 4-step.
     """
-    if _use_full_fwd() and _mm_dtypes()[1] == jnp.int32:
+    impl = _ntt_impl()
+    if impl == "twist2":
+        return fwd_twist2(x, N, primes, pi, tab)
+    if impl == "full" and _mm_dtypes()[1] == jnp.int32:
         fh, fl = full_fwd_tables(N, primes)[pi]
         zh = center_reduce(_mm(x, jnp.asarray(fh)), tab.p)
         return center_reduce((zh << 8) + _mm(x, jnp.asarray(fl)), tab.p)
@@ -552,7 +752,10 @@ def inv_full(x: jnp.ndarray, N: int, primes: Tuple[int, ...], pi: int,
 
 def _inv_dispatch(x: jnp.ndarray, N: int, primes: Tuple[int, ...], pi: int,
                   tab: _PrimeTab) -> jnp.ndarray:
-    if _use_full_fwd() and _mm_dtypes()[1] == jnp.int32:
+    impl = _ntt_impl()
+    if impl == "twist2":
+        return inv_twist2(x, N, primes, pi, tab)
+    if impl == "full" and _mm_dtypes()[1] == jnp.int32:
         return inv_full(x, N, primes, pi, tab)
     return _inv(x, N, tab)
 
@@ -619,7 +822,7 @@ class MXUBackend:
                 s = part if s is None else s + part
                 s = center_reduce(s, tab.p)
             res.append(_inv_dispatch(s, p.N, PRIMES1, pi, tab))
-        return garner_mod32(res, tuple(t.p for t in tabs))
+        return crt_mod32(res, tuple(t.p for t in tabs))
 
     # -------------------------- lvl2 (u64) ----------------------------- #
     def prep2(self, rows_u64: jnp.ndarray, p: Params) -> jnp.ndarray:
@@ -664,7 +867,7 @@ class MXUBackend:
                     s = part if s is None else s + part
                     s = center_reduce(s, tab.p)
                 res.append(_inv_dispatch(s, p.N2, PRIMES2, pi, tab))
-            c64v = garner_mod64(res, primes)
+            c64v = crt_mod64(res, primes)
             term = c64v << np.uint64(16 * l)
             acc = term if acc is None else acc + term
         return acc

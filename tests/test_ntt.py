@@ -64,3 +64,61 @@ def test_full_fwd_matches_4step():
 
             got = cred((cred(zh) << 8) + zl)
             assert np.array_equal(ref, got), (N, tab.p)
+
+
+def test_twist2_matches_4step():
+    """Batched-twist 2-stage transforms are bit-identical to the 4-step
+    for every prime, both directions, at both levels (exact even in f32)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from iyokan_tpu.crypto import polymul as pm
+
+    rng = np.random.default_rng(11)
+    for N, primes, bound in ((1024, pm.PRIMES1, 32), (2048, pm.PRIMES2, 128)):
+        tabs = pm.tables(N, primes)
+        x = rng.integers(-bound, bound, size=(2, N)).astype(np.int32)
+        for pi, tab in enumerate(tabs):
+            ref = np.asarray(jax.jit(
+                lambda v: pm._fwd(v, N, tab, small_input=True)
+            )(jnp.asarray(x)))
+            got = np.asarray(jax.jit(
+                lambda v: pm.fwd_twist2(v, N, primes, pi, tab)
+            )(jnp.asarray(x)))
+            assert np.array_equal(ref, got), ("fwd", N, tab.p)
+            xr = rng.integers(-(tab.p // 2), tab.p // 2 + 1,
+                              size=(2, N)).astype(np.int32)
+            refi = np.asarray(jax.jit(
+                lambda v: pm._inv(v, N, tab)
+            )(jnp.asarray(xr)))
+            goti = np.asarray(jax.jit(
+                lambda v: pm.inv_twist2(v, N, primes, pi, tab)
+            )(jnp.asarray(xr)))
+            assert np.array_equal(refi, goti), ("inv", N, tab.p)
+
+
+def test_crt_direct_matches_garner():
+    """Direct CRT reconstruction equals Garner for consistent residues of
+    values spanning the full conv ranges."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from iyokan_tpu.crypto import polymul as pm
+
+    rng = np.random.default_rng(12)
+    v = rng.integers(-(1 << 47), 1 << 47, size=(512,)).astype(object)
+    v[0], v[1] = (1 << 47) + (1 << 46), -(1 << 47) - (1 << 46)
+    res = [jnp.asarray(((v % p + p // 2) % p - p // 2)
+                       .astype(np.int64).astype(np.int32))
+           for p in pm.PRIMES1]
+    g = np.asarray(jax.jit(lambda r: pm.garner_mod32(r, pm.PRIMES1))(res))
+    d = np.asarray(jax.jit(lambda r: pm.crt_direct_mod32(r, pm.PRIMES1))(res))
+    assert np.array_equal(g, d)
+
+    v2 = rng.integers(-(1 << 40), 1 << 40, size=(512,)).astype(object)
+    res2 = [jnp.asarray(((v2 % p + p // 2) % p - p // 2)
+                        .astype(np.int64).astype(np.int32))
+            for p in pm.PRIMES2]
+    g2 = np.asarray(jax.jit(lambda r: pm.garner_mod64(r, pm.PRIMES2))(res2))
+    d2 = np.asarray(jax.jit(lambda r: pm.crt_direct_mod64(r, pm.PRIMES2))(res2))
+    assert np.array_equal(g2, d2)

@@ -69,8 +69,7 @@ def main():
         d = ops.decompose1(
             ops.rot_poly(a, jnp.broadcast_to(ab[:, i % p.n][:, None],
                                              a.shape[:-1]), p.N) - a, p)
-        dep = d.sum(dtype=jnp.int32) & 0
-        return a + dep.astype(u32)
+        return a.at[0, 0, 0].add(d.sum(dtype=jnp.int32).astype(u32))
     rot_dec = loop(rd_body)
     t = timeit(rot_dec, acc, abar)
     print(f"rot+decompose : {t*1e3:8.1f} ms  ({t/steps*1e6:6.0f} us/step)")
@@ -79,8 +78,8 @@ def main():
     def fwd_body(i, d):
         outs = [polymul.fwd_digits(d, p.N, polymul.PRIMES1, pi, tab)
                 for pi, tab in enumerate(tabs)]
-        dep = sum(o.sum(dtype=jnp.int32) for o in outs) & 0
-        return d + dep
+        dep = sum(o.sum(dtype=jnp.int32) for o in outs)
+        return d.at[0, 0, 0].add(dep)
     t = timeit(loop(fwd_body), digits)
     print(f"fwd digit NTT : {t*1e3:8.1f} ms  ({t/steps*1e6:6.0f} us/step)")
 
@@ -103,8 +102,8 @@ def main():
                 s = part if s is None else s + part
                 s = polymul.center_reduce(s, tab.p)
             outs.append(s)
-        dep = sum(o.sum(dtype=jnp.int32) for o in outs) & 0
-        return dnv + dep
+        dep = sum(o.sum(dtype=jnp.int32) for o in outs)
+        return dnv.at[0, 0, 0, 0].add(dep)
     t = timeit(loop(pw_body), dn, bkp)
     print(f"pointwise     : {t*1e3:8.1f} ms  ({t/steps*1e6:6.0f} us/step)")
 
@@ -117,8 +116,8 @@ def main():
     def inv_body(i, sv):
         outs = [polymul._inv_dispatch(sv[pi], p.N, polymul.PRIMES1, pi, tab)
                 for pi, tab in enumerate(tabs)]
-        dep = sum(o.sum(dtype=jnp.int32) for o in outs) & 0
-        return sv + dep
+        dep = sum(o.sum(dtype=jnp.int32) for o in outs)
+        return sv.at[0, 0, 0, 0].add(dep)
     t = timeit(loop(inv_body), sres)
     print(f"inverse NTT   : {t*1e3:8.1f} ms  ({t/steps*1e6:6.0f} us/step)")
 
@@ -126,8 +125,7 @@ def main():
     def gar_body(i, sv):
         z = polymul.garner_mod32([sv[pi] for pi in range(len(tabs))],
                                  tuple(t_.p for t_ in tabs))
-        dep = z.sum() & u32(0)
-        return sv + dep.astype(jnp.int32)
+        return sv.at[0, 0, 0, 0].add(z.sum().astype(jnp.int32))
     t = timeit(loop(gar_body), sres)
     print(f"garner CRT    : {t*1e3:8.1f} ms  ({t/steps*1e6:6.0f} us/step)")
 
