@@ -335,6 +335,20 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
 
         return jax.lax.fori_loop(0, nh, body, acc)
 
+    if bk_prep.ndim == 6:
+        # kernel-layout key [n, P, R, RR, 2, C]: fused Pallas external
+        # product (ops/pallas_ep.py), whole per-prime pipeline in VMEM.
+        from ..ops.pallas_ep import extprod1_fused
+
+        def body(i, acc):
+            r = abar[:, i][:, None]
+            rot = rot_poly(acc, jnp.broadcast_to(r, acc.shape[:-1]), p.N)
+            g = jax.lax.dynamic_index_in_dim(bk_prep, i, axis=0,
+                                             keepdims=False)
+            return acc + extprod1_fused(decompose1(rot - acc, p), g, p)
+
+        return jax.lax.fori_loop(0, p.n, body, acc)
+
     def body(i, acc):
         r = abar[:, i][:, None]                          # [G, 1] per part
         rot = rot_poly(acc, jnp.broadcast_to(r, acc.shape[:-1]), p.N)
@@ -484,6 +498,10 @@ class DeviceKeys:
             with_cb = False
 
         bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
+        if os.environ.get("IYOKAN_EP") == "pallas" and be.name == "mxu":
+            from ..ops.pallas_ep import prep_kernel_key
+
+            bkntt = jax.jit(lambda b: prep_kernel_key(b, p.N))(bkntt)
         bkuntt = None
         if ek.bku is not None and not os.environ.get("IYOKAN_NO_UNROLL"):
             bku = ek.bku.reshape(ek.bku.shape[0], 3 * 2 * p.l, 2, p.N)
