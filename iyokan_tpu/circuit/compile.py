@@ -56,6 +56,12 @@ class LevelPlan:
     def n_bootstraps(self) -> int:
         return len(self.bin_kind) + 2 * len(self.mux_out)
 
+    @property
+    def n_gates(self) -> int:
+        """Nodes evaluated at this level (for progress reporting)."""
+        return (len(self.bin_out) + len(self.mux_out) + len(self.not_out)
+                + len(self.copy_out))
+
 
 @dataclasses.dataclass
 class Compiled:

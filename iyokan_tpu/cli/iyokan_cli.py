@@ -52,12 +52,38 @@ def _common_args(g):
     g.add_argument("--show-combinational-progress", action="store_true")
 
 
-def _save_snapshot(path, mode, args, fe):
+def _blueprint_hash(path) -> str:
+    import hashlib
+
+    with open(path, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _evalkey_fingerprint(ek) -> str:
+    """Cheap stable eval-key fingerprint: hash of a ksk prefix (key material
+    is high-entropy, so a prefix distinguishes keys)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(ek.params.name.encode())
+    h.update(np.ascontiguousarray(ek.ksk.reshape(-1)[:65536]).tobytes())
+    return h.hexdigest()
+
+
+def _save_snapshot(path, mode, args, fe, ek=None):
+    """The reference serializes the whole frontend (params + networks +
+    state, src/iyokan_plain.cpp:557-561); the levelized equivalent is the
+    small state dict plus identity guards (blueprint hash, params name,
+    eval-key fingerprint) so resuming against different inputs fails fast
+    instead of producing silent garbage."""
     state = fe.snapshot_state()
     data = {
         "kind": "iyokan-snapshot",
         "mode": mode,
         "blueprint": fe.bp.source_file,
+        "blueprint_hash": _blueprint_hash(fe.bp.source_file),
+        "params": fe.params.name if fe.params is not None else "",
+        "evalkey_fp": _evalkey_fingerprint(ek) if ek is not None else "",
         "cycle": np.int64(state["cycle"]),
         "cycles_opt": np.int64(-1 if args.cycles is None else args.cycles),
         "input": args.inp or "",
@@ -74,7 +100,8 @@ def _save_snapshot(path, mode, args, fe):
 
 def _load_snapshot(path):
     z = np.load(path, allow_pickle=False)
-    assert str(z["kind"]) == "iyokan-snapshot", "invalid resume file"
+    if "kind" not in z.files or str(z["kind"]) != "iyokan-snapshot":
+        raise SystemExit(f"invalid resume file: {path}")
     state = {
         "vals": z["vals"],
         "rams": {}, "roms": {},
@@ -88,6 +115,10 @@ def _load_snapshot(path):
     meta = {
         "mode": str(z["mode"]),
         "blueprint": str(z["blueprint"]),
+        "blueprint_hash": str(z["blueprint_hash"])
+        if "blueprint_hash" in z.files else "",
+        "params": str(z["params"]) if "params" in z.files else "",
+        "evalkey_fp": str(z["evalkey_fp"]) if "evalkey_fp" in z.files else "",
         "cycles_opt": int(z["cycles_opt"]),
         "input": str(z["input"]),
         "output": str(z["output"]),
@@ -141,7 +172,15 @@ def main(argv=None) -> int:
         raise SystemExit("--blueprint, -i and -o are required (or --resume)")
 
     bp = Blueprint(args.blueprint)
+    if snapshot_state is not None and meta["blueprint_hash"]:
+        cur = _blueprint_hash(args.blueprint)
+        if cur != meta["blueprint_hash"]:
+            raise SystemExit(
+                "invalid resume file: blueprint has changed since the "
+                "snapshot was taken (resuming would produce garbage)"
+            )
     dump_sk = None
+    ek = None
     if mode == "plain":
         req = packet_mod.PlainPacket.load(args.inp)
         fe = Frontend("plain", bp, req, snapshot_state=snapshot_state)
@@ -154,6 +193,18 @@ def main(argv=None) -> int:
             raise SystemExit(
                 f"packet params {req.params!r} != key params {ek.params.name!r}"
             )
+        if snapshot_state is not None:
+            if meta["params"] and meta["params"] != ek.params.name:
+                raise SystemExit(
+                    f"invalid resume file: snapshot params {meta['params']!r}"
+                    f" != key params {ek.params.name!r}"
+                )
+            fp = _evalkey_fingerprint(ek)
+            if meta["evalkey_fp"] and meta["evalkey_fp"] != fp:
+                raise SystemExit(
+                    "invalid resume file: eval key differs from the one the "
+                    "snapshot was taken with"
+                )
         if getattr(args, "secret_key", None):
             dump_sk = host.SecretKey.load(args.secret_key)
         fe = Frontend("tfhe", bp, req, eval_key=ek,
@@ -168,11 +219,12 @@ def main(argv=None) -> int:
         dump_time_csv_prefix=args.dump_time_csv_prefix,
         dump_graph_json_prefix=args.dump_graph_json_prefix,
         dump_graph_dot_prefix=args.dump_graph_dot_prefix,
+        show_combinational_progress=args.show_combinational_progress,
     )
     res = fe.make_result_packet()
     res.save(args.out)
     if args.snapshot:
-        _save_snapshot(args.snapshot, mode, args, fe)
+        _save_snapshot(args.snapshot, mode, args, fe, ek=ek)
     return 0
 
 

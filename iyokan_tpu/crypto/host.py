@@ -99,7 +99,8 @@ class SecretKey:
     @staticmethod
     def load(path: str) -> "SecretKey":
         z = np.load(path, allow_pickle=False)
-        assert str(z["kind"]) == "secret-key", "not a secret key file"
+        if "kind" not in z.files or str(z["kind"]) != "secret-key":
+            raise ValueError(f"{path!r} is not a secret key file")
         return SecretKey(by_name(str(z["params"])), z["s0"], z["s1"], z["s2"])
 
 
@@ -140,7 +141,8 @@ class EvalKey:
     @staticmethod
     def load(path: str) -> "EvalKey":
         z = np.load(path, allow_pickle=False)
-        assert str(z["kind"]) == "eval-key", "not an eval key file"
+        if "kind" not in z.files or str(z["kind"]) != "eval-key":
+            raise ValueError(f"{path!r} is not an eval key file")
         bku = z["bku"] if "bku" in z.files and z["bku"].size else None
         return EvalKey(
             by_name(str(z["params"])), z["bk"], z["bk2"], z["ksk"], z["pksk"],

@@ -235,6 +235,7 @@ class Frontend:
            dump_time_csv_prefix: Optional[str] = None,
            dump_graph_json_prefix: Optional[str] = None,
            dump_graph_dot_prefix: Optional[str] = None,
+           show_combinational_progress: bool = False,
            on_cycle=None) -> None:
         eng = self.engine
         if num_cycles is None:
@@ -271,7 +272,26 @@ class Frontend:
                         self.compiled.sdff_vals,
                     )
             self._set_circular_inputs(self.current_cycle)
-            self.vals, self.rams = eng.settle(self.vals, self.rams, self.roms)
+            level_times = [] if dump_time_csv_prefix else None
+            progress_cb = None
+            if show_combinational_progress:
+                total = sum(p.n_gates for p in self.compiled.levels)
+                state = {"done": 0, "next": 1000}
+                cyc = self.current_cycle + 1
+
+                def progress_cb(n, state=state, total=total, cyc=cyc):
+                    # reference prints every 1000 finished gates
+                    # (src/iyokan_plain.cpp:42-46)
+                    state["done"] += n
+                    if state["done"] >= state["next"] or state["done"] == total:
+                        log.info("\tcycle %d: %d / %d gates evaluated",
+                                 cyc, state["done"], total)
+                        state["next"] = state["done"] + 1000
+
+            self.vals, self.rams = eng.settle(
+                self.vals, self.rams, self.roms,
+                timer=level_times, progress=progress_cb,
+            )
             eng.block_until_ready(self.vals)
 
             dt = time.time() - t0
@@ -282,7 +302,7 @@ class Frontend:
                 with open(f"{dump_time_csv_prefix}-{self.current_cycle}.csv",
                           "w") as f:
                     progress.dump_time_csv(self.compiled, self.current_cycle,
-                                           None, dt, f)
+                                           level_times, dt, f)
             if dump_graph_json_prefix:
                 from . import progress
 

@@ -97,58 +97,64 @@ class PlainEngine:
 
     # ------------------------------------------------------------------ #
     def _settle_impl(self, vals, rams, roms):
-        one = jnp.uint8(1)
         for plan in self.c.levels:
-            outs = []
-            ids = []
-            if len(plan.bin_out):
-                a = vals[plan.bin_a]
-                b = vals[plan.bin_b]
-                stack = jnp.stack(
-                    [
-                        a & b, one - (a & b), a & (one - b), a | b,
-                        one - (a | b), a | (one - b), a ^ b, one - (a ^ b),
-                    ],
-                    axis=0,
-                )
-                res = jnp.take_along_axis(
-                    stack, plan.bin_kind[None, :].astype(jnp.int32), axis=0
-                )[0]
-                outs.append(res)
-                ids.append(plan.bin_out)
-            if len(plan.mux_out):
-                a = vals[plan.mux_a]
-                b = vals[plan.mux_b]
-                s = vals[plan.mux_s]
-                outs.append(jnp.where(s == 0, a, b))
-                ids.append(plan.mux_out)
-            if len(plan.not_out):
-                outs.append(one - vals[plan.not_src])
-                ids.append(plan.not_out)
-            if len(plan.copy_out):
-                outs.append(vals[plan.copy_src])
-                ids.append(plan.copy_out)
-            for name in plan.rom_reads:
-                inst = self.d.rom_insts[name]
-                addr = _pack_addr(vals, inst.addr_nodes)
-                word = jax.lax.dynamic_index_in_dim(
-                    roms[name], addr, keepdims=False
-                )
-                outs.append(word)
-                ids.append(np.asarray(inst.read_nodes, np.int32))
-            for name in plan.ram_reads:
-                inst = self.d.ram_insts[name]
-                addr = _pack_addr(vals, inst.addr_nodes)
-                word = jax.lax.dynamic_index_in_dim(
-                    rams[name], addr, keepdims=False
-                )
-                outs.append(word)
-                ids.append(np.asarray(inst.read_nodes, np.int32))
-            if outs:
-                vals = vals.at[np.concatenate(ids)].set(
-                    jnp.concatenate(outs)
-                )
+            vals = self._level_impl(vals, rams, roms, plan)
+        return vals, self._ram_writes_impl(vals, rams)
 
+    def _level_impl(self, vals, rams, roms, plan):
+        one = jnp.uint8(1)
+        outs = []
+        ids = []
+        if len(plan.bin_out):
+            a = vals[plan.bin_a]
+            b = vals[plan.bin_b]
+            stack = jnp.stack(
+                [
+                    a & b, one - (a & b), a & (one - b), a | b,
+                    one - (a | b), a | (one - b), a ^ b, one - (a ^ b),
+                ],
+                axis=0,
+            )
+            res = jnp.take_along_axis(
+                stack, plan.bin_kind[None, :].astype(jnp.int32), axis=0
+            )[0]
+            outs.append(res)
+            ids.append(plan.bin_out)
+        if len(plan.mux_out):
+            a = vals[plan.mux_a]
+            b = vals[plan.mux_b]
+            s = vals[plan.mux_s]
+            outs.append(jnp.where(s == 0, a, b))
+            ids.append(plan.mux_out)
+        if len(plan.not_out):
+            outs.append(one - vals[plan.not_src])
+            ids.append(plan.not_out)
+        if len(plan.copy_out):
+            outs.append(vals[plan.copy_src])
+            ids.append(plan.copy_out)
+        for name in plan.rom_reads:
+            inst = self.d.rom_insts[name]
+            addr = _pack_addr(vals, inst.addr_nodes)
+            word = jax.lax.dynamic_index_in_dim(
+                roms[name], addr, keepdims=False
+            )
+            outs.append(word)
+            ids.append(np.asarray(inst.read_nodes, np.int32))
+        for name in plan.ram_reads:
+            inst = self.d.ram_insts[name]
+            addr = _pack_addr(vals, inst.addr_nodes)
+            word = jax.lax.dynamic_index_in_dim(
+                rams[name], addr, keepdims=False
+            )
+            outs.append(word)
+            ids.append(np.asarray(inst.read_nodes, np.int32))
+        if outs:
+            vals = vals.at[np.concatenate(ids)].set(
+                jnp.concatenate(outs)
+            )
+        return vals
+
+    def _ram_writes_impl(self, vals, rams):
         # end-of-settle RAM writes (read-before-write by construction)
         new_rams = {}
         for name, inst in self.d.ram_insts.items():
@@ -161,7 +167,43 @@ class PlainEngine:
             new_rams[name] = jax.lax.dynamic_update_index_in_dim(
                 ram, new_word, addr, axis=0
             )
+        return new_rams
+
+    def settle(self, vals, rams, roms, timer=None, progress=None):
+        """timer: list collecting per-level seconds (opt-in profiling path:
+        one jit per level instead of the fused sweep -- the reference's
+        ProgressGraphMaker is likewise allocated only when a dump flag is
+        set, src/iyokan_plain.cpp:458-461).  progress: callable(n_done)."""
+        if timer is None and progress is None:
+            return self._settle(vals, rams, roms)
+        import time
+
+        for lv, plan in enumerate(self.c.levels):
+            t0 = time.time()
+            vals = self._level_fn(lv)(vals, rams, roms)
+            np.asarray(vals[0])  # force execution for honest timing
+            if timer is not None:
+                timer.append(time.time() - t0)
+            if progress is not None:
+                progress(plan.n_gates)
+        new_rams = self._ram_write_fn()(vals, rams)
         return vals, new_rams
 
-    def settle(self, vals, rams, roms):
-        return self._settle(vals, rams, roms)
+    def _level_fn(self, lv):
+        key = ("level", lv)
+        if not hasattr(self, "_prof_fns"):
+            self._prof_fns = {}
+        if key not in self._prof_fns:
+            plan = self.c.levels[lv]
+            self._prof_fns[key] = jax.jit(
+                lambda vals, rams, roms, _p=plan:
+                self._level_impl(vals, rams, roms, _p)
+            )
+        return self._prof_fns[key]
+
+    def _ram_write_fn(self):
+        if not hasattr(self, "_prof_fns"):
+            self._prof_fns = {}
+        if "ramw" not in self._prof_fns:
+            self._prof_fns["ramw"] = jax.jit(self._ram_writes_impl)
+        return self._prof_fns["ramw"]

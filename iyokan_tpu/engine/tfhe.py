@@ -355,23 +355,31 @@ class TFHEEngine:
             self._mem_fns[key] = fn
         return self._mem_fns[key]
 
-    def settle(self, vals, rams, roms):
+    def settle(self, vals, rams, roms, timer=None, progress=None):
         """Host-driven sweep: one jitted call per level (bucketed shapes)
-        plus per-instance memory calls."""
+        plus per-instance memory calls.
+
+        timer: optional list collecting per-level wall-clock seconds (forces
+        a device sync per level, opt-in like the reference's
+        ProgressGraphMaker).  progress: optional callable(n_gates_done).
+        """
         import os
         import time
 
         profile = bool(os.environ.get("IYOKAN_PROFILE"))
+        sync = profile or timer is not None
 
         def mark(tag):
-            if profile:
+            if sync:
                 jax.block_until_ready(vals)
                 _ = np.asarray(vals[0, 0])  # force through the transfer sync
                 now = time.time()
                 dt = now - mark.t0
                 mark.t0 = now
-                if dt > 0.005:
+                if profile and dt > 0.005:
                     print(f"    [profile] {tag}: {dt*1e3:.0f} ms", flush=True)
+                return dt
+            return 0.0
 
         mark.t0 = time.time()
         keys = self.keys
@@ -379,6 +387,7 @@ class TFHEEngine:
         for lv, (plan, pp) in enumerate(
             zip(self.c.levels, self._padded_plans)
         ):
+            lv_t = 0.0
             if pp["nb"] or pp["nm"]:
                 fn = self._level_fn(pp["nb"], pp["nm"])
                 vals = fn(
@@ -387,26 +396,30 @@ class TFHEEngine:
                     pp["bin_out"], pp["mux_a"], pp["mux_b"], pp["mux_s"],
                     pp["mux_out"],
                 )
-                mark(f"level {lv+1} gates ({pp['nb']}+{pp['nm']}mux)")
+                lv_t += mark(f"level {lv+1} gates ({pp['nb']}+{pp['nm']}mux)")
             if len(pp["not_out"]) or len(pp["copy_out"]):
                 vals = self._simple(vals, pp)
-                mark(f"level {lv+1} simple")
+                lv_t += mark(f"level {lv+1} simple")
             for name in plan.rom_reads:
                 vals = self._mem_fn("rom", name)(keys, vals, roms[name])
-                mark(f"level {lv+1} rom {name}")
+                lv_t += mark(f"level {lv+1} rom {name}")
             for name in plan.ram_reads:
                 vals, gn = self._mem_fn("ram_read", name)(
                     keys, vals, rams[name]
                 )
                 ram_sel[name] = gn
-                mark(f"level {lv+1} ram-read {name}")
+                lv_t += mark(f"level {lv+1} ram-read {name}")
+            if timer is not None:
+                timer.append(lv_t)
+            if progress is not None:
+                progress(plan.n_gates)
 
         new_rams = {}
         for name, store in rams.items():
             new_rams[name] = self._mem_fn("ram_write", name)(
                 keys, vals, store, ram_sel[name]
             )
-            if profile:
+            if sync:
                 jax.block_until_ready(new_rams[name])
             mark(f"ram-write {name}")
         return vals, new_rams

@@ -80,7 +80,8 @@ class PlainPacket:
     @staticmethod
     def load(path: str) -> "PlainPacket":
         z = np.load(path, allow_pickle=False)
-        assert str(z["kind"]) == "plain-packet", "not a plain packet"
+        if "kind" not in z.files or str(z["kind"]) != "plain-packet":
+            raise ValueError(f"{path!r} is not a plain packet")
         pkt = PlainPacket(num_cycles=int(z["cycles"]))
         for key in z.files:
             if "/" in key:
@@ -163,7 +164,8 @@ class TFHEPacket:
     @staticmethod
     def load(path: str) -> "TFHEPacket":
         z = np.load(path, allow_pickle=False)
-        assert str(z["kind"]) == "tfhe-packet", "not a TFHE packet"
+        if "kind" not in z.files or str(z["kind"]) != "tfhe-packet":
+            raise ValueError(f"{path!r} is not a TFHE packet")
         pkt = TFHEPacket(params=str(z["params"]), num_cycles=int(z["cycles"]))
         for key in z.files:
             if "/" in key:

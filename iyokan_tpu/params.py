@@ -97,10 +97,13 @@ class Params:
     def __post_init__(self):
         assert 1 << self.logN == self.N, "N must be a power of two"
         assert 1 << self.logN2 == self.N2, "N2 must be a power of two"
-        assert self.l * self.Bgbit <= 32
-        assert self.l2 * self.Bgbit2 <= 64
-        assert self.ks_t * self.ks_basebit <= 32
-        assert self.pks_t * self.pks_basebit <= 64
+        # strict <: the rounding-offset terms in decompose1/decompose2 and
+        # _ks_digits compute 1 << (31 - l*Bgbit) etc., which would need a
+        # negative shift at equality (advisor finding, round 1)
+        assert self.l * self.Bgbit < 32, "l*Bgbit must leave a rounding bit"
+        assert self.l2 * self.Bgbit2 < 64, "l2*Bgbit2 must leave a rounding bit"
+        assert self.ks_t * self.ks_basebit < 32
+        assert self.pks_t * self.pks_basebit < 64
 
 
 # 128-bit security (default), dimension/noise pairs matching the reference's

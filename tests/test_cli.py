@@ -122,6 +122,30 @@ def test_dump_prefix(tmp_path):
     assert list(dump7.bits["reg_x0"][:8]) == [0, 1, 0, 1, 0, 1, 0, 0]  # 42
 
 
+def test_time_csv_and_progress(tmp_path, caplog):
+    """--dump-time-csv-prefix emits real per-level seconds and
+    --show-combinational-progress logs periodic gate-count lines
+    (reference src/iyokan.hpp:128-278, src/iyokan_plain.cpp:42-46)."""
+    import logging
+
+    req, res = str(tmp_path / "req"), str(tmp_path / "res")
+    prefix = str(tmp_path / "t")
+    packet_cli.main(["toml2packet", "--in", fixture("in/test00.in"),
+                     "--out", req])
+    with caplog.at_level(logging.INFO, logger="iyokan"):
+        iyokan_cli.main(["plain", "--blueprint",
+                         fixture("config-toml/cahp-diamond.toml"),
+                         "-i", req, "-o", res, "-c", "2",
+                         "--dump-time-csv-prefix", prefix,
+                         "--show-combinational-progress"])
+    with open(prefix + "-1.csv") as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "cycle,level,bootstraps,seconds"
+    body = [ln.split(",") for ln in lines[1:] if "total" not in ln]
+    assert body and all(float(row[3]) >= 0.0 for row in body)  # real seconds
+    assert any("gates evaluated" in r.message for r in caplog.records)
+
+
 def test_snapshot_resume(tmp_path):
     """Run diamond 4 cycles + snapshot, resume 4 more; equals one 8-cycle
     run (reference snapshot/resume, src/main.cpp:242-260)."""
