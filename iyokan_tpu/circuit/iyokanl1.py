@@ -29,6 +29,15 @@ def read(design: Design, f: IO, ram_width: Optional[int] = None) -> None:
     ports = root["ports"]
     id2node = {}
 
+    if ram_width is None:
+        # Infer the RAM data width from the cells themselves so
+        # reference-style pre-minimized RAM netlists (mux-ram-*.min.json,
+        # reference src/iyokan.hpp:2595-2628) load as plain [[file]] entries:
+        # ramBit indexes the data word, so width = max(ramBit) + 1.
+        ram_bits = [int(c["ramBit"]) for c in cells if c["type"] == "RAM"]
+        if ram_bits:
+            ram_width = max(ram_bits) + 1
+
     for port in ports:
         ptype, pid = port["type"], int(port["id"])
         name, bit = port["portName"], int(port["portBit"])

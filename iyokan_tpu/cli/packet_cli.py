@@ -32,11 +32,7 @@ def _read_bin_bits(path: str) -> np.ndarray:
     src/iyokan-packet.cpp:44-57)."""
     with open(path, "rb") as f:
         data = f.read()
-    out = np.zeros(len(data) * 8, np.uint8)
-    for i, byte in enumerate(data):
-        for k in range(8):
-            out[i * 8 + k] = (byte >> k) & 1
-    return out
+    return np.unpackbits(np.frombuffer(data, np.uint8), bitorder="little")
 
 
 def _parse_kv(items):

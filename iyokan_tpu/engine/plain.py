@@ -55,10 +55,10 @@ class PlainEngine:
 
     def read_nodes(self, vals, nodes) -> np.ndarray:
         arr = np.asarray(vals)
-        out = np.zeros(len(nodes), np.uint8)
-        for i, node in enumerate(nodes):
-            if node is not None:
-                out[i] = arr[node]
+        idx = np.array([0 if n is None else n for n in nodes], np.int32)
+        out = arr[idx]
+        missing = np.array([n is None for n in nodes], bool)
+        out[missing] = 0
         return out
 
     def make_rom_store(self, name, addr_width, data_width, data):

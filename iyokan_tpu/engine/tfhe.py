@@ -188,11 +188,13 @@ class TFHEEngine:
         return self.set_nodes(vals, nodes, ct)
 
     def read_nodes(self, vals, nodes) -> np.ndarray:
-        arr = np.asarray(vals)
-        out = np.zeros((len(nodes), self.p.n + 1), np.uint32)
-        triv0 = host.trivial_tlwe0(self.p, np.zeros(1, np.uint8))[0]
-        for i, node in enumerate(nodes):
-            out[i] = triv0 if node is None else arr[node]
+        # device-side gather + one transfer (not a per-node host loop):
+        # required shape for the 64K+-node workloads (BASELINE.md config 5)
+        idx = np.array([0 if n is None else n for n in nodes], np.int32)
+        out = np.asarray(vals[jnp.asarray(idx)]).copy()
+        missing = np.array([n is None for n in nodes], bool)
+        if missing.any():
+            out[missing] = host.trivial_tlwe0(self.p, np.zeros(1, np.uint8))[0]
         return out
 
     def make_rom_store(self, name, addr_width, data_width, data):

@@ -31,31 +31,19 @@ from .crypto import host
 def bits_from_bytes(byts, size: int) -> np.ndarray:
     """LSB-first unpack, zero-extended/truncated to `size` bits
     (reference doToml2Packet, src/iyokan-packet.cpp:210-225)."""
+    arr = np.frombuffer(bytes(bytearray(byts)), np.uint8)
+    bits = np.unpackbits(arr, bitorder="little")
     out = np.zeros(size, np.uint8)
-    i = 0
-    for byte in byts:
-        b = int(byte) & 0xFF
-        for k in range(8):
-            if i >= size:
-                return out
-            out[i] = (b >> k) & 1
-            i += 1
+    n = min(size, bits.size)
+    out[:n] = bits[:n]
     return out
 
 
 def bytes_from_bits(bits: np.ndarray) -> list:
     """LSB-first pack (reference printPlainPacket bits2bytes,
     src/iyokan-packet.cpp:108-121)."""
-    out = []
-    byte = 0
-    for i, bit in enumerate(np.asarray(bits).astype(int).tolist()):
-        byte |= (bit & 1) << (i % 8)
-        if i % 8 == 7:
-            out.append(byte)
-            byte = 0
-    if len(bits) % 8 != 0:
-        out.append(byte)
-    return out
+    arr = (np.asarray(bits).astype(np.uint8) & 1)
+    return np.packbits(arr, bitorder="little").tolist()
 
 
 @dataclasses.dataclass

@@ -83,3 +83,53 @@ def test_blueprint_rejects_at_to_at(tmp_path):
     f.write_text('[connect]\n"@a" = "@b"\n')
     with pytest.raises(ValueError, match="invalid connect"):
         Blueprint(str(f))
+
+
+def test_iyokanl1_ram_cells_width_inferred():
+    """Reference-style pre-minimized RAM netlists (mux-ram-*.min.json,
+    reference src/iyokan.hpp:2595-2628) load as [[file]] entries: the RAM
+    data width is inferred from the cells (max ramBit + 1)."""
+    import json
+    import os
+
+    from iyokan_tpu.circuit import iyokanl1
+
+    path = "/root/reference/src/mux-ram-8-8-8.min.json"
+    if not os.path.exists(path):
+        pytest.skip("reference blob not present")
+    d = Design()
+    with d.instance("ram"), open(path) as f:
+        iyokanl1.read(d, f)
+    # 2^8 addresses x 8 bits of registered RAM DFF cells
+    for idx in (0, 123, 2047):
+        assert d.maybe_get("ram", "ram", "ramdata", idx) is not None
+    assert d.maybe_get("ram", "ram", "ramdata", 2048) is None
+    d.check_valid()
+
+
+def test_iyokanl1_tiny_ram_width():
+    """Width inference on a hand-built 2-cell RAM netlist."""
+    import io as _io
+    import json
+
+    from iyokan_tpu.circuit import iyokanl1
+
+    net = {
+        "cells": [
+            {"type": "RAM", "id": 1, "ramAddress": 0, "ramBit": 0,
+             "input": {"D": 2}, "output": [3]},
+            {"type": "RAM", "id": 2, "ramAddress": 0, "ramBit": 2,
+             "input": {"D": 1}, "output": []},
+        ],
+        "ports": [
+            {"type": "output", "id": 3, "portName": "q", "portBit": 0,
+             "bits": [1]},
+        ],
+    }
+    d = Design()
+    with d.instance("x"):
+        iyokanl1.read(d, _io.StringIO(json.dumps(net)))
+    # width inferred as 3 -> cell (addr 0, bit 2) registers at index 2
+    assert d.maybe_get("x", "ram", "ramdata", 0) is not None
+    assert d.maybe_get("x", "ram", "ramdata", 2) is not None
+    assert d.maybe_get("x", "ram", "ramdata", 1) is None

@@ -259,33 +259,43 @@ CASES = {
 INNER = int(os.environ.get("BENCH_INNER", "200"))
 
 
-def _pallas_loop_case(name, body, x0, ops_per_elem_iter, dtype=None):
+def _pallas_loop_case(name, body, x0, ops_per_elem_iter, extra=()):
+    """Times body() on VMEM-resident data; reports the marginal per-iter cost
+    (difference between a 4*INNER and an INNER loop, immune to dispatch and
+    transfer overheads).  extra: additional VMEM operands passed to body."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kern(x_ref, o_ref):
-        def it(i, x):
-            return body(x)
-        out = jax.lax.fori_loop(0, INNER, it, x_ref[...])
-        o_ref[...] = out
+    def make(inner):
+        def kern(x_ref, *rest):
+            e_refs, o_ref = rest[:-1], rest[-1]
+            es = [e[...] for e in e_refs]
 
-    call = pl.pallas_call(
-        kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x0.shape, x0.dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )
+            def it(i, x):
+                return body(x, *es)
+            o_ref[...] = jax.lax.fori_loop(0, inner, it, x_ref[...])
 
-    @jax.jit
-    def run(x):
-        return jnp.sum(call(x)[..., :1].astype(i32))
+        call = pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (1 + len(extra)),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x0.shape, x0.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
 
-    run(x0); np.asarray(run(x0))
-    t0 = time.time()
-    np.asarray(run(x0))
-    dt = (time.time() - t0 - 0.029) / INNER
+        @jax.jit
+        def run(x):
+            return jnp.sum(call(x, *extra)[..., :1].astype(i32))
+        return run
+
+    r1, r4 = make(INNER), make(4 * INNER)
+    np.asarray(r1(x0)); np.asarray(r4(x0))
+    d1s, d4s = [], []
+    for _ in range(3):
+        t0 = time.time(); np.asarray(r1(x0)); d1s.append(time.time() - t0)
+        t0 = time.time(); np.asarray(r4(x0)); d4s.append(time.time() - t0)
+    dt = (min(d4s) - min(d1s)) / (3 * INNER)
     n = x0.size * ops_per_elem_iter
     print(f"{name:34s} {dt*1e6:10.1f} us/inner   "
           f"{n/dt/1e12:8.2f} Tops/s")
@@ -319,7 +329,7 @@ def pk_barrett_case():
     def body(x):
         q = jnp.round(x.astype(jnp.float32) * np.float32(1.0 / p)).astype(i32)
         r = x - q * np.int32(p)
-        return r + np.int32(3)
+        return r + np.int32(1 << 21)
     _pallas_loop_case("pk_barrett(nofix)+add", body, x, 7)
 
 
@@ -328,13 +338,53 @@ def pk_roll_case():
     from jax.experimental.pallas import tpu as pltpu
     x = jnp.ones((512, 2, 1024), u32)
     N = 1024
-    mask = (np.arange(N) < 128)
-    maskj = jnp.asarray(mask[None, None, :])
-    def body(x):
+    mask = jnp.asarray((np.arange(N) < 128)[None, None, :].astype(np.uint32))
+    def body(x, m):
         r = pltpu.roll(x, 128, 2)
-        r = jnp.where(maskj, u32(0) - r, r)
+        r = r + m * (u32(0) - 2 * r)
         return r + u32(1)
-    _pallas_loop_case("pk_roll+negmask+add", body, x, 4)
+    _pallas_loop_case("pk_roll+negmask+add", body, x, 5, extra=(mask,))
+
+
+def pk_i16_case():
+    """i16 mult chain (wrap mod 2^16)."""
+    x = jnp.ones((512, 8, 1024), jnp.int16)
+    def body(x):
+        for _ in range(5):
+            x = x * jnp.int16(12289) + jnp.int16(1)
+        return x
+    _pallas_loop_case("pk_i16 10 mult/add", body, x, 10)
+
+
+def pk_i32var_case():
+    """i32 variable*variable mult chain."""
+    x = jnp.ones((512, 8, 1024), i32)
+    y = jnp.full((512, 8, 1024), 3, i32)
+    def body(x, y):
+        for _ in range(5):
+            x = (x * y + np.int32(1)) & np.int32(0xFFFFF)
+        return x
+    _pallas_loop_case("pk_i32 5 var-mult", body, x, 10, extra=(y,))
+
+
+def pk_conv_case():
+    """i32<->f32 convert + f32 mult + round chain (fix-free Barrett core)."""
+    p = float(PRIMES1[3])
+    x = jnp.full((512, 8, 1024), 1 << 21, i32)
+    def body(x):
+        q = jnp.round(x.astype(jnp.float32) * np.float32(1.0 / p)).astype(i32)
+        return x - q + np.int32(7)
+    _pallas_loop_case("pk_conv f32Barrett-no-mult", body, x, 6)
+
+
+def pk_select_case():
+    """compare+select chain (rotation ingredient)."""
+    x = jnp.ones((512, 8, 1024), u32)
+    def body(x):
+        for _ in range(5):
+            x = jnp.where(x > u32(5), x + u32(1), x)
+        return x
+    _pallas_loop_case("pk_where 5 rounds", body, x, 10)
 
 
 def pk_mm_case():
@@ -453,7 +503,9 @@ CASES.update({
     "pk_vpu": pk_vpu_case, "pk_f32": pk_f32_case,
     "pk_barrett": pk_barrett_case, "pk_roll": pk_roll_case,
     "pk_mm": pk_mm_case, "pk_smallk": pk_smallk_case,
-    "pk_bdot": pk_bdot_case,
+    "pk_bdot": pk_bdot_case, "pk_i16": pk_i16_case,
+    "pk_i32var": pk_i32var_case, "pk_conv": pk_conv_case,
+    "pk_select": pk_select_case,
 })
 
 
