@@ -21,6 +21,68 @@ def mesh8():
     mesh_mod.set_mesh(None)
 
 
+def test_shard_batch_placement(mesh8):
+    """Per-device placement, not just decrypted values: a big batch is
+    split 1/8th per device along the gate axis; a tiny level and the
+    (key-like) replicated arrays land whole on every device."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    big = jnp.zeros((128, 636), jnp.uint32)
+    out = jax.jit(mesh_mod.shard_batch)(big)
+    assert out.sharding.is_equivalent_to(
+        NamedSharding(mesh8, P("gates", None)), 2)
+    shard_shapes = {s.data.shape for s in out.addressable_shards}
+    assert shard_shapes == {(16, 636)}
+    assert len(out.addressable_shards) == 8
+
+    # below 8 rows/device -> replicated, no ragged shards
+    small = jnp.zeros((16, 636), jnp.uint32)
+    outs = jax.jit(mesh_mod.shard_batch)(small)
+    assert all(s.data.shape == (16, 636) for s in outs.addressable_shards)
+
+    # non-divisible row count -> replicated
+    odd = jnp.zeros((129, 636), jnp.uint32)
+    outo = jax.jit(mesh_mod.shard_batch)(odd)
+    assert all(s.data.shape == (129, 636) for s in outo.addressable_shards)
+
+    # keys: replicated() pins the whole array on every device
+    key_like = jnp.zeros((64, 6, 2, 4, 32), jnp.int32)
+    outk = jax.jit(mesh_mod.replicated)(key_like)
+    assert outk.sharding.is_equivalent_to(NamedSharding(mesh8, P()), 5)
+
+    # batch_sharding mirrors the constraint decisions
+    assert mesh_mod.batch_sharding((128, 636)).is_equivalent_to(
+        NamedSharding(mesh8, P("gates", None)), 2)
+    assert mesh_mod.batch_sharding((16, 636)).is_equivalent_to(
+        NamedSharding(mesh8, P()), 2)
+
+
+def test_level_fn_output_stays_replicated(mesh8, toy_sk, toy_ek):
+    """The engine's per-level contract: batches shard, the scattered wire
+    state comes back replicated (the all-gather rides the mesh)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iyokan_tpu.crypto import ops
+
+    keys = ops.DeviceKeys.from_evalkey(toy_ek, with_cb=False)
+    p = toy_ek.params
+    G = 64
+
+    @jax.jit
+    def level(keys, pre):
+        batch = mesh_mod.shard_batch(pre)
+        t1 = ops.gate_bootstrap_tlwe1(batch, keys.bk_for(G), p, keys.backend)
+        out = ops.keyswitch_10(t1, keys.ksk_mat, p)
+        return mesh_mod.replicated(out)
+
+    pre = jnp.zeros((G, p.n + 1), jnp.uint32)
+    out = level(keys, pre)
+    assert out.sharding.is_equivalent_to(NamedSharding(mesh8, P()), 2)
+    assert out.shape == (G, p.n + 1)
+
+
 def test_sharded_adder_matches_golden(mesh8, toy_sk, toy_ek):
     req = packet_mod.PlainPacket.from_toml_file(fixture("in/test04.in"))
     bp = Blueprint(fixture("config-toml/addr-4bit.toml"))
