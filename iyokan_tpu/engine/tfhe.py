@@ -108,44 +108,128 @@ class TFHEEngine:
             "copy_src": plan.copy_src, "copy_out": plan.copy_out,
         }
 
+    def _level_body(self, nb, nm, keys, vals, ba, bb, ca, cb, kk, bo,
+                    ma, mb, ms, mo):
+        """One level's gather -> batched bootstrap -> scatter (traced)."""
+        p = self.p
+        mu = u32(p.mu)
+        vals = replicated(vals)
+        pres = []
+        if nb:
+            A = vals[ba]
+            B = vals[bb]
+            pres.append(ops.gate_linear(A, B, ca, cb, kk, p))
+        if nm:
+            Av = vals[ma]
+            Bv = vals[mb]
+            S = vals[ms]
+            pre1 = (S + Bv).at[:, p.n].add(u32(0) - mu)
+            pre2 = (Av - S).at[:, p.n].add(u32(0) - mu)
+            pres.extend([pre1, pre2])
+        batch = shard_batch(jnp.concatenate(pres, axis=0))
+        t1 = ops.gate_bootstrap_tlwe1(batch, keys.bk_for(nb + 2 * nm),
+                                      p, keys.backend)
+        rows = []
+        if nb:
+            rows.append(t1[:nb])
+        if nm:
+            comb = t1[nb : nb + nm] + t1[nb + nm :]
+            comb = comb.at[:, p.N].add(mu)
+            rows.append(comb)
+        lvl1 = jnp.concatenate(rows, axis=0)
+        out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
+        ids = jnp.concatenate([bo, mo])
+        return vals.at[ids].set(out)
+
     def _level_fn(self, nb: int, nm: int):
         key = (nb, nm)
         if key not in self._level_fns:
-            p = self.p
-
-            @jax.jit
-            def fn(keys, vals, ba, bb, ca, cb, kk, bo, ma, mb, ms, mo):
-                mu = u32(p.mu)
-                vals = replicated(vals)
-                pres = []
-                if nb:
-                    A = vals[ba]
-                    B = vals[bb]
-                    pres.append(ops.gate_linear(A, B, ca, cb, kk, p))
-                if nm:
-                    Av = vals[ma]
-                    Bv = vals[mb]
-                    S = vals[ms]
-                    pre1 = (S + Bv).at[:, p.n].add(u32(0) - mu)
-                    pre2 = (Av - S).at[:, p.n].add(u32(0) - mu)
-                    pres.extend([pre1, pre2])
-                batch = shard_batch(jnp.concatenate(pres, axis=0))
-                t1 = ops.gate_bootstrap_tlwe1(batch, keys.bk_for(nb + 2 * nm),
-                                              p, keys.backend)
-                rows = []
-                if nb:
-                    rows.append(t1[:nb])
-                if nm:
-                    comb = t1[nb : nb + nm] + t1[nb + nm :]
-                    comb = comb.at[:, p.N].add(mu)
-                    rows.append(comb)
-                lvl1 = jnp.concatenate(rows, axis=0)
-                out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
-                ids = jnp.concatenate([bo, mo])
-                return vals.at[ids].set(out)
-
+            fn = jax.jit(functools.partial(self._level_body, nb, nm))
             self._level_fns[key] = fn
         return self._level_fns[key]
+
+    # -- multi-level fusion: one jitted call per GROUP of consecutive
+    # gate-only levels.  Each dispatch through a remote/attached runtime
+    # costs fixed overhead (~tens of ms through the axon tunnel); fusing
+    # k levels divides the per-cycle call count by k while the compiled
+    # graphs still cache on the group signature, which is stable across
+    # cycles.  Levels with memory ops (ROM/RAM) end their group.
+    _LEVEL_ARGS = ("bin_a", "bin_b", "ca", "cb", "kk", "bin_out",
+                   "mux_a", "mux_b", "mux_s", "mux_out")
+
+    def _group_fn(self, sig):
+        key = ("group", sig)
+        if key not in self._level_fns:
+
+            def fn(keys, vals, *flat):
+                i = 0
+                for (nb, nm, nnot, ncopy) in sig:
+                    if nb or nm:
+                        args = flat[i : i + 10]
+                        i += 10
+                        vals = self._level_body(nb, nm, keys, vals, *args)
+                    if nnot or ncopy:
+                        ns, no, cs, co = flat[i : i + 4]
+                        i += 4
+                        vals = vals.at[no].set(u32(0) - vals[ns])
+                        vals = vals.at[co].set(vals[cs])
+                return vals
+
+            self._level_fns[key] = jax.jit(fn)
+        return self._level_fns[key]
+
+    def _group_plans(self, max_group: int):
+        """Partition levels into fusable groups (cached).
+
+        Returns a list of entries: ("group", sig, flat_args, n_gates) for
+        fused gate/simple levels, or ("mem", plan) for levels that touch a
+        ROM/RAM (run per-instance as before).
+        """
+        if getattr(self, "_groups", None) is not None:
+            return self._groups
+        groups = []
+        cur_sig, cur_flat, cur_gates = [], [], 0
+
+        def flush():
+            nonlocal cur_sig, cur_flat, cur_gates
+            if cur_sig:
+                groups.append(("group", tuple(cur_sig), tuple(cur_flat),
+                               cur_gates))
+            cur_sig, cur_flat, cur_gates = [], [], 0
+
+        dump = self.c.num_nodes
+        for plan, pp in zip(self.c.levels, self._padded_plans):
+            nnot, ncopy = len(pp["not_out"]), len(pp["copy_out"])
+            sig = (pp["nb"], pp["nm"],
+                   self._bucket(max(nnot, 1)) if nnot else 0,
+                   self._bucket(max(ncopy, 1)) if ncopy else 0)
+            if pp["nb"] or pp["nm"] or nnot or ncopy:
+                if sig[0] or sig[1]:
+                    cur_flat.extend(pp[k] for k in self._LEVEL_ARGS)
+                if sig[2] or sig[3]:
+                    b = max(sig[2], sig[3])
+
+                    def pad_io(src, out):
+                        s = np.zeros(b, np.int32)
+                        o = np.full(b, dump, np.int32)
+                        s[: len(src)] = src
+                        o[: len(out)] = out
+                        return s, o
+
+                    ns, no = pad_io(pp["not_src"], pp["not_out"])
+                    cs, co = pad_io(pp["copy_src"], pp["copy_out"])
+                    cur_flat.extend([ns, no, cs, co])
+                    sig = (sig[0], sig[1], b, b)
+                cur_sig.append(sig)
+                cur_gates += plan.n_gates
+            if plan.rom_reads or plan.ram_reads:
+                flush()
+                groups.append(("mem", plan))
+            elif len(cur_sig) >= max_group:
+                flush()
+        flush()
+        self._groups = groups
+        return groups
 
     def _simple_fn(self):
         """NOT gates + copies of a level (cheap, one shared jit)."""
@@ -386,6 +470,30 @@ class TFHEEngine:
         mark.t0 = time.time()
         keys = self.keys
         ram_sel: Dict[str, jnp.ndarray] = {}
+
+        fuse = int(os.environ.get("IYOKAN_FUSE_LEVELS", "8"))
+        if not sync and progress is None and fuse > 1:
+            # fused fast path: one dispatch per group of gate-only levels
+            for entry in self._group_plans(fuse):
+                if entry[0] == "group":
+                    _, sig, flat, _n = entry
+                    vals = self._group_fn(sig)(keys, vals, *flat)
+                    continue
+                plan = entry[1]
+                for name in plan.rom_reads:
+                    vals = self._mem_fn("rom", name)(keys, vals, roms[name])
+                for name in plan.ram_reads:
+                    vals, gn = self._mem_fn("ram_read", name)(
+                        keys, vals, rams[name]
+                    )
+                    ram_sel[name] = gn
+            new_rams = {}
+            for name, store in rams.items():
+                new_rams[name] = self._mem_fn("ram_write", name)(
+                    keys, vals, store, ram_sel[name]
+                )
+            return vals, new_rams
+
         for lv, (plan, pp) in enumerate(
             zip(self.c.levels, self._padded_plans)
         ):

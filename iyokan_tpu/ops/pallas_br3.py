@@ -113,28 +113,38 @@ def _fix(r, p):
 
 
 def _full(x, p):
-    """Exact centered residue for any i32 x: coarse to +-3p/2 (< 2^17.2,
-    f32-exact, ties at +-p/2 resolve because 1/(2p) beats the f32 error),
-    then exact."""
-    return _coarse(_coarse(x, p), p)
+    """Exact centered residue for any i32 x: coarse to +-3p/2, then a
+    fix-up pair (int compares, cheaper than a second f32 Barrett)."""
+    return _fix(_coarse(x, p), p)
+
+
+def _relaxed(p: int) -> bool:
+    """True when the whole per-prime pipeline tolerates +-3p/2 residues:
+    the j-sum of 6 products (3p/2)(p/2) must fit int32, and the sr limb
+    split's high limb (3p/2)/256 must fit int8.  Holds for the two small
+    primes (12289, 18433); the larger two keep the exact-centered paths."""
+    return 6 * (3 * p // 2) * (p // 2) < (1 << 31) - 1 and (
+        (3 * p // 2 + 128) >> 8
+    ) <= 127
 
 
 def _fwd_reduce(zh, zl, p):
     """Raw fwd-matmul limb outputs (|zh|,|zl| <= N*32*128 < 2^22) ->
-    exact centered digit NTT.  The second Barrett input reaches 2^23.4
-    where a round-tie can slip one quotient step (f32 error ~8e-5 >
-    1/(2p) for the small primes), so a fix-up pair pins the result to
-    +-p/2 -- the _pointwise accumulation bound requires it."""
-    rh = _coarse(zh, p)                    # exact: zh < 2^22, ties resolve
-    return _fix(_coarse((rh << 8) + zl, p), p)
+    centered digit NTT.  One Barrett on the recombined value (< 2^30,
+    quotient off by at most one -> +-3p/2); relaxed primes stop there,
+    the rest pin to +-p/2 with a fix-up pair (their pointwise
+    accumulation bound needs exact-centered inputs)."""
+    r = _coarse((zh << 8) + zl, p)
+    return r if _relaxed(p) else _fix(r, p)
 
 
 def _pointwise(dn, bk_p, p):
     """sum_j dn[:, j, :] * bk_p[j, u, :] with i32 products and chunked
-    coarse Barretts; dn exact-centered.  Returns [BG, 2, N] exact-centered.
-    """
-    half = p // 2 + 1
-    chunk = max(1, ((1 << 31) - 1 - 3 * p // 2) // (half * half))
+    coarse Barretts.  dn is +-3p/2 for relaxed primes (all 6 products
+    then still fit int32 unchunked), exact-centered otherwise.
+    Returns two [BG, N] arrays, +-3p/2 (relaxed) or exact-centered."""
+    dmax = 3 * p // 2 if _relaxed(p) else p // 2 + 1
+    chunk = max(1, ((1 << 31) - 1 - 3 * p // 2) // (dmax * (p // 2 + 1)))
     outs = []
     for u in range(2):
         acc = None
@@ -146,7 +156,7 @@ def _pointwise(dn, bk_p, p):
             if pending >= chunk and j < 5:
                 acc = _coarse(acc, p)      # +-3p/2; next products still fit
                 pending = 0
-        outs.append(_full(acc, p))
+        outs.append(_coarse(acc, p) if _relaxed(p) else _full(acc, p))
     return outs
 
 
@@ -155,8 +165,8 @@ def _pointwise(dn, bk_p, p):
 # --------------------------------------------------------------------------- #
 
 
-def _kernel(p: Params, n_steps, abar_ref, acc0_ref, fwd_ref, inv_ref, tw_ref,
-            bk_hbm, out_ref, bk_buf, sems):
+def _kernel(p: Params, n_steps, ablate, abar_ref, acc0_ref, fwd_ref, inv_ref,
+            tw_ref, bk_hbm, out_ref, bk_buf, sems):
     N = p.N
     BG = acc0_ref.shape[0]
     Eks, alphas, Pm = _crt_consts()
@@ -173,65 +183,116 @@ def _kernel(p: Params, n_steps, abar_ref, acc0_ref, fwd_ref, inv_ref, tw_ref,
     def body(i, acc):
         slot = jax.lax.rem(i, 2)
 
-        @pl.when(i + 1 < n_steps)
-        def _():
-            dma(i + 1, 1 - slot).start()
+        if "dma" not in ablate:
+            @pl.when(i + 1 < n_steps)
+            def _():
+                dma(i + 1, 1 - slot).start()
 
-        dma(i, slot).wait()
+            dma(i, slot).wait()
         bk_step = bk_buf[slot]                         # [6, 2, P, N] i32
 
         # gadget decomposition of acc (not of a rotated diff)
-        xp = acc + u32(offset & 0xFFFFFFFF)
-        rows = []
-        for part in range(2):
-            for j in range(p.l):
-                sh = 32 - (j + 1) * p.Bgbit
-                d = ((xp[:, part, :] >> u32(sh)) & u32(p.Bg - 1)).astype(i32) \
-                    - p.Bg // 2
-                rows.append(d)
-        d8 = jnp.stack(rows, axis=1).astype(i8).reshape(BG * 6, N)
+        if "decompose" in ablate:
+            d8 = jnp.broadcast_to(
+                acc.astype(i32).astype(i8).reshape(BG * 2, 1, N),
+                (BG * 2, p.l, N),
+            ).reshape(BG * 2 * p.l, N)
+        else:
+            xp = acc + u32(offset & 0xFFFFFFFF)
+            rows = []
+            for part in range(2):
+                for j in range(p.l):
+                    sh = 32 - (j + 1) * p.Bgbit
+                    d = ((xp[:, part, :] >> u32(sh))
+                         & u32(p.Bg - 1)).astype(i32) - p.Bg // 2
+                    rows.append(d)
+            d8 = jnp.stack(rows, axis=1).astype(i8).reshape(BG * 6, N)
 
         # one-hot of the per-gate rotation amount (shared by all primes)
         a_i = abar_ref[i, :]                           # [BG]
-        oh = (iota2n == a_i[:, None]).astype(i8)       # [BG, 2N]
+        if "onehot" in ablate:
+            oh = (iota2n & 1).astype(i8)
+        else:
+            oh = (iota2n == a_i[:, None]).astype(i8)   # [BG, 2N]
 
-        ru = jnp.zeros((BG, 2, N), u32)
-        mf = jnp.zeros((BG, 2, N), f32)
-        for pi, pr in enumerate(PRIMES1):
-            def mm(a, b):
-                return jax.lax.dot_general(
-                    a, b, (((1,), (0,)), ((), ())),
-                    preferred_element_type=i32)
+        def mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=i32)
 
-            zh = mm(d8, fwd_ref[pi, 0])
-            zl = mm(d8, fwd_ref[pi, 1])
-            dn = _fwd_reduce(zh, zl, pr).reshape(BG, 6, N)
+        # ---- software pipeline over primes: the VPU front-end of prime
+        # pi runs while prime pi-1's inverse matmuls occupy the MXU, and
+        # the recombine of pi-1 runs while pi's inverse matmuls issue.
+        P = len(PRIMES1)
+        # MXU burst: every forward/twiddle matmul up front
+        if "fwdmm" in ablate:
+            zs = [(d8.astype(i32), d8.astype(i32)) for _ in range(P)]
+        else:
+            zs = [(mm(d8, fwd_ref[pi, 0]), mm(d8, fwd_ref[pi, 1]))
+                  for pi in range(P)]
+        if "twmm" in ablate:
+            ts = [(oh[:, :N].astype(i32), oh[:, :N].astype(i32))
+                  for _ in range(P)]
+        else:
+            ts = [(mm(oh, tw_ref[pi, 0]), mm(oh, tw_ref[pi, 1]))
+                  for pi in range(P)]
 
-            th = mm(oh, tw_ref[pi, 0])
-            tl = mm(oh, tw_ref[pi, 1])
-            tw = (th << 8) + tl                        # exact row select
-
-            s0, s1 = _pointwise(dn, bk_step[:, :, pi, :], pr)
-            # rotation twiddle: s * (psi^r - 1); |s|<=p/2+1, |tw|<=p/2
-            sr = jnp.stack([_full(s0 * tw, pr), _full(s1 * tw, pr)], axis=1)
-
+        def front(pi):
+            """VPU: digit reduce -> j-sum -> rotation twiddle -> limb
+            split feeding the inverse matmuls."""
+            pr = PRIMES1[pi]
+            if "fwdred" in ablate:
+                dn = zs[pi][0].reshape(BG, 6, N)
+            else:
+                dn = _fwd_reduce(*zs[pi], pr).reshape(BG, 6, N)
+            tw = (ts[pi][0] << 8) + ts[pi][1]          # exact row select
+            if "pointwise" in ablate:
+                s0 = s1 = dn[:, 0, :]
+            else:
+                s0, s1 = _pointwise(dn, bk_step[:, :, pi, :], pr)
+            red = _coarse if _relaxed(pr) else _full
+            if "twiddle" in ablate:
+                sr = jnp.stack([s0, s1], axis=1)
+            else:
+                sr = jnp.stack([red(s0 * tw, pr), red(s1 * tw, pr)], axis=1)
             x = sr.reshape(BG * 2, N)
             x0 = ((x + 128) & 255) - 128
             x1 = ((x - x0) >> 8).astype(i8)
-            x0 = x0.astype(i8)
-            z11 = mm(x1, inv_ref[pi, 0])
-            zmid = mm(x1, inv_ref[pi, 1]) + mm(x0, inv_ref[pi, 0])
-            z00 = mm(x0, inv_ref[pi, 1])
+            return x0.astype(i8), x1
+
+        def invmm(pi, x0, x1):
+            if "invmm" in ablate:
+                return (x1.astype(i32), x1.astype(i32), x0.astype(i32))
+            return (mm(x1, inv_ref[pi, 0]),
+                    mm(x1, inv_ref[pi, 1]) + mm(x0, inv_ref[pi, 0]),
+                    mm(x0, inv_ref[pi, 1]))
+
+        def recombine(pi, z11, zmid, z00, ru, mf):
+            pr = PRIMES1[pi]
+            if "recombine" in ablate:
+                res = z00.reshape(BG, 2, N)[: BG]
+                return ru + res.astype(u32), mf
             c16 = np.int32(_centered(1 << 16, pr))
-            # z11 must be exactly centered before the c16 scale: a tie-slip
-            # to 3p/2 would push 3p/2 * p/2 past int32 for the largest prime
+            # z11 must be exactly centered before the c16 scale: a
+            # tie-slip to 3p/2 would push 3p/2 * p/2 past int32
             z11r = _fix(_coarse(z11, pr), pr)
             res = _coarse(
                 z11r * c16 + (_coarse(zmid, pr) << 8) + z00, pr
             ).reshape(BG, 2, N)                        # +-3p/2: CRT-safe
-
             ru = ru + res.astype(u32) * u32(Eks[pi])
             mf = mf + res.astype(f32) * np.float32(alphas[pi])
+            return ru, mf
+
+        ru = jnp.zeros((BG, 2, N), u32)
+        mf = jnp.zeros((BG, 2, N), f32)
+        pending = None
+        for pi in range(P):
+            x0, x1 = front(pi)
+            z = invmm(pi, x0, x1)
+            if pending is not None:
+                ru, mf = recombine(pi - 1, *pending, ru, mf)
+            pending = z
+        ru, mf = recombine(P - 1, *pending, ru, mf)
 
         m = jnp.round(mf).astype(i32).astype(u32)
         return acc + (ru - m * u32(Pm))
@@ -240,9 +301,9 @@ def _kernel(p: Params, n_steps, abar_ref, acc0_ref, fwd_ref, inv_ref, tw_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _call(p: Params, G: int, BG: int):
+def _call(p: Params, G: int, BG: int, ablate: frozenset = frozenset()):
     fwd, inv, tw = _v3_tables(p.N)
-    kernel = functools.partial(_kernel, p, p.n)
+    kernel = functools.partial(_kernel, p, p.n, ablate)
     P = len(PRIMES1)
 
     def fixed(shape):
@@ -302,7 +363,10 @@ def blind_rotate_pallas3(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray,
     acc0 = jnp.stack([jnp.zeros((Gp, p.N), u32), acc_b], axis=1)
 
     fwd, inv, tw = _v3_tables(p.N)
-    out = _call(p, Gp, BG)(
+    ablate = frozenset(
+        x for x in os.environ.get("IYOKAN_BR3_ABLATE", "").split(",") if x
+    )
+    out = _call(p, Gp, BG, ablate)(
         abar.T, acc0, jnp.asarray(fwd), jnp.asarray(inv), jnp.asarray(tw),
         bk_prep,
     )

@@ -232,6 +232,87 @@ def register(r: Runner):
                  "in/test21.in", "out/test21.out", ncycles=1, plain_ncycles=1,
                  tfhe=False)
 
+    # --dump-prefix content assertions (reference test.rb:474-485)
+    def check_dump7(dump_prefix):
+        import tomllib
+
+        from iyokan_tpu import packet as pm
+
+        pkt = pm.PlainPacket.load(dump_prefix + "-7")
+        toml = tomllib.loads(pkt.to_toml())
+        assert int(toml["cycles"]) == 7, toml["cycles"]
+        bits = toml["bits"]
+        assert {"bytes": [0], "size": 1, "name": "finflag"} in bits, bits
+        assert {"bytes": [42, 0], "size": 16, "name": "reg_x0"} in bits, bits
+
+    def plain_dump_prefix():
+        dump = os.path.join(r.wd, "_dump")
+        sh(["iyokan_tpu.cli.packet_cli", "toml2packet",
+            "--in", r.fixture("in/test00.in"), "--out", r.req])
+        sh(["iyokan_tpu.cli.iyokan_cli", "plain", "--quiet",
+            "--blueprint", r.fixture("config-toml/cahp-diamond.toml"),
+            "-i", r.req, "-o", r.res, "-c", "8", "--dump-prefix", dump])
+        check_dump7(dump)
+        r._compare(r.res, "out/test00-diamond.out")
+
+    def tfhe_dump_prefix():
+        r.ensure_keys()
+        dump = os.path.join(r.wd, "_dump")
+        sh(["iyokan_tpu.cli.packet_cli", "toml2packet",
+            "--in", r.fixture("in/test00.in"), "--out", r.req])
+        sh(["iyokan_tpu.cli.packet_cli", "enc", "--key", r.skey,
+            "--in", r.req, "--out", r.req])
+        sh(["iyokan_tpu.cli.iyokan_cli", "tfhe", "--quiet",
+            "--blueprint", r.fixture("config-toml/cahp-diamond.toml"),
+            "--evalkey", r.bkey, "--secret-key", r.skey,
+            "-i", r.req, "-o", r.res, "-c", "8", "--dump-prefix", dump])
+        check_dump7(dump)
+        sh(["iyokan_tpu.cli.packet_cli", "dec", "--key", r.skey,
+            "--in", r.res, "--out", r.res])
+        r._compare(r.res, "out/test00-diamond.out")
+
+    r.add("plain-cahp-diamond-dump-prefix-00", {"plain", "fast"},
+          plain_dump_prefix)
+    r.add("tfhe-cahp-diamond-dump-prefix-00", {"tfhe"}, tfhe_dump_prefix)
+
+    # chained runs: result packet -> convert -> next run's request
+    # (reference test.rb:487-545)
+    def plain_chained():
+        sh(["iyokan_tpu.cli.packet_cli", "toml2packet",
+            "--in", r.fixture("in/test20.in"), "--out", r.req])
+        sh(["iyokan_tpu.cli.iyokan_cli", "plain", "--quiet",
+            "--blueprint", r.fixture("config-toml/addr-4bit.toml"),
+            "-i", r.req, "-o", r.res, "-c", "1"])
+        sh(["iyokan_tpu.cli.packet_cli", "convert-plain",
+            "-o", r.req, "-i", "a", r.res, "--",
+            "bits.A = a.out", "bits.B = a.out"])
+        sh(["iyokan_tpu.cli.iyokan_cli", "plain", "--quiet",
+            "--blueprint", r.fixture("config-toml/addr-4bit.toml"),
+            "-i", r.req, "-o", r.res, "-c", "1"])
+        r._compare(r.res, "out/test20.out")
+
+    def tfhe_chained():
+        r.ensure_keys()
+        sh(["iyokan_tpu.cli.packet_cli", "toml2packet",
+            "--in", r.fixture("in/test20.in"), "--out", r.req])
+        sh(["iyokan_tpu.cli.packet_cli", "enc", "--key", r.skey,
+            "--in", r.req, "--out", r.req])
+        sh(["iyokan_tpu.cli.iyokan_cli", "tfhe", "--quiet",
+            "--blueprint", r.fixture("config-toml/addr-4bit.toml"),
+            "--evalkey", r.bkey, "-i", r.req, "-o", r.res, "-c", "1"])
+        sh(["iyokan_tpu.cli.packet_cli", "convert",
+            "-o", r.req, "-i", "a", r.res, "--",
+            "bits.A = a.out", "bits.B = a.out"])
+        sh(["iyokan_tpu.cli.iyokan_cli", "tfhe", "--quiet",
+            "--blueprint", r.fixture("config-toml/addr-4bit.toml"),
+            "--evalkey", r.bkey, "-i", r.req, "-o", r.res, "-c", "1"])
+        sh(["iyokan_tpu.cli.packet_cli", "dec", "--key", r.skey,
+            "--in", r.res, "--out", r.res])
+        r._compare(r.res, "out/test20.out")
+
+    r.add("plain-addr-addr-4bit-20", {"plain", "fast"}, plain_chained)
+    r.add("tfhe-addr-addr-4bit-20", {"tfhe", "tfhe-fast"}, tfhe_chained)
+
 
 def main():
     ap = argparse.ArgumentParser()
