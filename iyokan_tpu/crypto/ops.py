@@ -280,7 +280,11 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
     import os as _os
 
     impl = _os.environ.get("IYOKAN_BR_IMPL")
-    if bk_prep.shape[-4] == 2 * p.l:  # pallas kernels: plain key layout only
+    # layout dispatch: plain/unrolled prep1 keys are 5-d
+    # [n, rows, 2, P, N]; the pallas_ep kernel-layout key is 6-d
+    # [n, P, R, RR, 2, C].  The ndim guard prevents a kernel-layout key
+    # whose R happens to equal 2l from being misrouted (advisor, round 1).
+    if bk_prep.ndim == 5 and bk_prep.shape[-4] == 2 * p.l:
         if impl == "pallas":
             from ..ops.pallas_br import blind_rotate_pallas
 
@@ -315,7 +319,7 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
     #                         + s1 s2 (X^(a1+a2) - 1)
     # halves the sequential depth at 1.5x products per consumed key bit,
     # fused into one 3*2l-row external product.
-    if bk_prep.shape[-4] == 6 * p.l:
+    if bk_prep.ndim == 5 and bk_prep.shape[-4] == 6 * p.l:
         nh = bk_prep.shape[0]
         pad = 2 * nh - p.n
         if pad:

@@ -68,8 +68,12 @@ def test_cggi128_gates():
     signed = np.where(phase > 1 << 31, phase - (1 << 32), phase)
     err = np.where(want == 1, signed - p.mu, signed + p.mu)
     sigma = err.std() / 2.0 ** 32
-    # documented budget: sigma ~ 2^-8.2; 1/16 threshold needs < 2^-6 or so
-    assert sigma < 2.0 ** -7, f"sigma = {sigma} (budget ~2^-8.2)"
+    # documented budget (params.py noise sketch): sigma ~= 2^-8.2.  Assert
+    # with ~1.4x headroom so a regression that doubles the variance fails
+    # here, not only in a 100k-gate device run (on-device measurement:
+    # sigma = 2^-8.77 over 102400 gates, 0 errors -- tools/
+    # measure_error_rate.py writes the repeatable JSON record).
+    assert sigma < 2.0 ** -7.7, f"sigma = {sigma} (budget ~2^-8.2)"
 
 
 @pytest.mark.slow

@@ -82,6 +82,32 @@ def main():
           f"(threshold 1/16 = 2^-4; margin {(1/16)/sigma:.1f} sigma)")
     print(f"wall: {time.time()-t0:.1f}s")
 
+    # repeatable record for noise-regression tracking (VERDICT round 1 #6)
+    out_path = os.environ.get(
+        "ER_OUT", os.path.join(os.path.dirname(__file__), "..",
+                               "ERROR_RATE.json")
+    )
+    import json
+
+    budget_sigma = 2.0 ** -8.2
+    rec = {
+        "params": p.name,
+        "gates": total,
+        "wrong": wrong,
+        "error_rate": wrong / total,
+        "sigma": sigma,
+        "sigma_log2": math.log2(sigma),
+        "budget_sigma_log2": math.log2(budget_sigma),
+        "threshold": 1 / 16,
+        "margin_sigmas": (1 / 16) / sigma,
+        "backend": jax.default_backend(),
+    }
+    with open(out_path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {out_path}")
+    if wrong or sigma > budget_sigma * 1.5:
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()
