@@ -293,15 +293,19 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
             from ..ops.pallas_br2 import blind_rotate_pallas2
 
             return blind_rotate_pallas2(tlwe0, bk_prep, testv, p)
-        if impl == "v3" and bk_prep.ndim == 5 and (
-            bk_prep.shape[-2] == len(polymul.PRIMES1)
-        ):
-            # v3 consumes the MXUBackend prep1 layout only (PRIMES1
-            # residues in the 4-step slot order); the crt64 prep has a
-            # 2-wide prime axis and falls through to the XLA path.
-            from ..ops.pallas_br3 import blind_rotate_pallas3
+    if (
+        impl == "v3"
+        and bk_prep.ndim == 5
+        and bk_prep.shape[-4] in (2 * p.l, 6 * p.l)
+        and bk_prep.shape[-2] == len(polymul.PRIMES1)
+    ):
+        # v3 consumes the MXUBackend prep1 layout only (PRIMES1 residues
+        # in the 4-step slot order), plain or 2-bit-unrolled rows; the
+        # crt64 prep has a 2-wide prime axis and falls through to the
+        # XLA path.
+        from ..ops.pallas_br3 import blind_rotate_pallas3
 
-            return blind_rotate_pallas3(tlwe0, bk_prep, testv, p)
+        return blind_rotate_pallas3(tlwe0, bk_prep, testv, p)
 
     be = backend or polymul.get_backend()
     G = tlwe0.shape[0]

@@ -165,8 +165,12 @@ def _pointwise(dn, bk_p, p):
 # --------------------------------------------------------------------------- #
 
 
-def _kernel(p: Params, n_steps, ablate, abar_ref, acc0_ref, fwd_ref, inv_ref,
-            tw_ref, bk_hbm, out_ref, bk_buf, sems):
+def _kernel(p: Params, n_steps, M, ablate, abar_ref, acc0_ref, fwd_ref,
+            inv_ref, tw_ref, bk_hbm, out_ref, bk_buf, sems):
+    """M = 1: plain key (one rotation amount per step); M = 3: the 2-bit
+    unrolled key (amounts a1, a2, a1+a2 sharing one decomposition of acc,
+    per X^(a1 s1 + a2 s2) = 1 + s1(1-s2)(X^a1-1) + s2(1-s1)(X^a2-1)
+    + s1 s2 (X^(a1+a2)-1)); bk rows are grouped [M, 2l] per step."""
     N = p.N
     BG = acc0_ref.shape[0]
     Eks, alphas, Pm = _crt_consts()
@@ -178,7 +182,7 @@ def _kernel(p: Params, n_steps, ablate, abar_ref, acc0_ref, fwd_ref, inv_ref,
                                      sems.at[slot])
 
     dma(0, 0).start()
-    iota2n = jax.lax.broadcasted_iota(i32, (BG, 2 * N), 1)
+    iota2n = jax.lax.broadcasted_iota(i32, (M * BG, 2 * N), 1)
 
     def body(i, acc):
         slot = jax.lax.rem(i, 2)
@@ -189,7 +193,7 @@ def _kernel(p: Params, n_steps, ablate, abar_ref, acc0_ref, fwd_ref, inv_ref,
                 dma(i + 1, 1 - slot).start()
 
             dma(i, slot).wait()
-        bk_step = bk_buf[slot]                         # [6, 2, P, N] i32
+        bk_step = bk_buf[slot]                         # [M*6, 2, P, N] i32
 
         # gadget decomposition of acc (not of a rotated diff)
         if "decompose" in ablate:
@@ -208,12 +212,12 @@ def _kernel(p: Params, n_steps, ablate, abar_ref, acc0_ref, fwd_ref, inv_ref,
                     rows.append(d)
             d8 = jnp.stack(rows, axis=1).astype(i8).reshape(BG * 6, N)
 
-        # one-hot of the per-gate rotation amount (shared by all primes)
-        a_i = abar_ref[i, :]                           # [BG]
+        # one-hot of the per-gate rotation amounts (shared by all primes)
+        a_i = abar_ref[i].reshape(M * BG)              # [M*BG]
         if "onehot" in ablate:
             oh = (iota2n & 1).astype(i8)
         else:
-            oh = (iota2n == a_i[:, None]).astype(i8)   # [BG, 2N]
+            oh = (iota2n == a_i[:, None]).astype(i8)   # [M*BG, 2N]
 
         def mm(a, b):
             return jax.lax.dot_general(
@@ -245,16 +249,27 @@ def _kernel(p: Params, n_steps, ablate, abar_ref, acc0_ref, fwd_ref, inv_ref,
                 dn = zs[pi][0].reshape(BG, 6, N)
             else:
                 dn = _fwd_reduce(*zs[pi], pr).reshape(BG, 6, N)
-            tw = (ts[pi][0] << 8) + ts[pi][1]          # exact row select
-            if "pointwise" in ablate:
-                s0 = s1 = dn[:, 0, :]
-            else:
-                s0, s1 = _pointwise(dn, bk_step[:, :, pi, :], pr)
+            tw = ((ts[pi][0] << 8) + ts[pi][1]).reshape(M, BG, N)
             red = _coarse if _relaxed(pr) else _full
-            if "twiddle" in ablate:
-                sr = jnp.stack([s0, s1], axis=1)
+            if "pointwise" in ablate:
+                ss = [(dn[:, 0, :], dn[:, 0, :])] * M
             else:
-                sr = jnp.stack([red(s0 * tw, pr), red(s1 * tw, pr)], axis=1)
+                ss = [
+                    _pointwise(dn, bk_step[6 * m:6 * (m + 1), :, pi, :], pr)
+                    for m in range(M)
+                ]
+            if "twiddle" in ablate:
+                sr = jnp.stack([ss[0][0], ss[0][1]], axis=1)
+            elif M == 1:
+                sr = jnp.stack([red(ss[0][0] * tw[0], pr),
+                                red(ss[0][1] * tw[0], pr)], axis=1)
+            else:
+                # sum the M twiddled j-sums mod p: each coarse term is
+                # +-3p/2 so the M-sum fits int32 with room; one final red
+                # pins the range the int8 limb split needs.
+                su = [sum(_coarse(ss[m][u] * tw[m], pr) for m in range(M))
+                      for u in range(2)]
+                sr = jnp.stack([red(su[0], pr), red(su[1], pr)], axis=1)
             x = sr.reshape(BG * 2, N)
             x0 = ((x + 128) & 255) - 128
             x1 = ((x - x0) >> 8).astype(i8)
@@ -301,9 +316,10 @@ def _kernel(p: Params, n_steps, ablate, abar_ref, acc0_ref, fwd_ref, inv_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _call(p: Params, G: int, BG: int, ablate: frozenset = frozenset()):
+def _call(p: Params, G: int, BG: int, n_steps: int, M: int = 1,
+          ablate: frozenset = frozenset()):
     fwd, inv, tw = _v3_tables(p.N)
-    kernel = functools.partial(_kernel, p, p.n, ablate)
+    kernel = functools.partial(_kernel, p, n_steps, M, ablate)
     P = len(PRIMES1)
 
     def fixed(shape):
@@ -315,7 +331,7 @@ def _call(p: Params, G: int, BG: int, ablate: frozenset = frozenset()):
         kernel,
         grid=(G // BG,),
         in_specs=[
-            pl.BlockSpec((p.n, BG), lambda g: (0, g),
+            pl.BlockSpec((n_steps, M, BG), lambda g: (0, 0, g),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -328,7 +344,7 @@ def _call(p: Params, G: int, BG: int, ablate: frozenset = frozenset()):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 2, p.N), u32),
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * p.l, 2, P, p.N), i32),
+            pltpu.VMEM((2, M * 2 * p.l, 2, P, p.N), i32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -341,11 +357,20 @@ def _call(p: Params, G: int, BG: int, ablate: frozenset = frozenset()):
 def blind_rotate_pallas3(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray,
                          testv: jnp.ndarray, p: Params,
                          block_g: int = None) -> jnp.ndarray:
-    """Drop-in for ops.blind_rotate (lvl1, plain prep1 key layout)."""
+    """Drop-in for ops.blind_rotate (lvl1, prep1 key layout).
+
+    Accepts both the plain key ([n, 2l, 2, P, N], one step per key bit)
+    and the 2-bit unrolled key ([ceil(n/2), 3*2l, 2, P, N], one step per
+    key-bit pair at 1.5x products -- half the sequential depth).
+    """
     from ..crypto import ops as cops
 
+    unrolled = bk_prep.shape[1] == 6 * p.l
+    M = 3 if unrolled else 1
+    n_steps = bk_prep.shape[0]
     if block_g is None:
-        block_g = int(os.environ.get("IYOKAN_PALLAS_BG", "256"))
+        block_g = int(os.environ.get(
+            "IYOKAN_PALLAS_BG", "128" if unrolled else "256"))
     G = tlwe0.shape[0]
     BG = min(block_g, max(8, G))
     pad = (-G) % BG
@@ -362,12 +387,25 @@ def blind_rotate_pallas3(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray,
     )
     acc0 = jnp.stack([jnp.zeros((Gp, p.N), u32), acc_b], axis=1)
 
+    if unrolled:
+        kpad = 2 * n_steps - p.n
+        if kpad:
+            abar = jnp.concatenate(
+                [abar, jnp.zeros((Gp, kpad), abar.dtype)], axis=1
+            )
+        a1s = abar[:, 0::2]
+        a2s = abar[:, 1::2]
+        a12s = (a1s + a2s) % (2 * p.N)
+        steps = jnp.stack([a1s.T, a2s.T, a12s.T], axis=1)  # [n2, 3, Gp]
+    else:
+        steps = abar.T[:, None, :]                         # [n, 1, Gp]
+
     fwd, inv, tw = _v3_tables(p.N)
     ablate = frozenset(
         x for x in os.environ.get("IYOKAN_BR3_ABLATE", "").split(",") if x
     )
-    out = _call(p, Gp, BG, ablate)(
-        abar.T, acc0, jnp.asarray(fwd), jnp.asarray(inv), jnp.asarray(tw),
+    out = _call(p, Gp, BG, n_steps, M, ablate)(
+        steps, acc0, jnp.asarray(fwd), jnp.asarray(inv), jnp.asarray(tw),
         bk_prep,
     )
     return out[:G]

@@ -36,6 +36,62 @@ def mxu_bk(toy, toy_ek, monkeypatch):
     pm._use_full_fwd.cache_clear()
 
 
+@pytest.fixture()
+def mxu_bku(toy, toy_ek, monkeypatch):
+    """2-bit unrolled key ([n/2, 3*2l, 2, P, N]) in the MXU prep1 layout."""
+    monkeypatch.setenv("IYOKAN_MM_DTYPE", "int8")
+    pm._mm_dtypes.cache_clear()
+    pm._use_full_fwd.cache_clear()
+    be = pm.MXUBackend()
+    p = toy
+    bku = toy_ek.bku.reshape(toy_ek.bku.shape[0], 6 * p.l, 2, p.N)
+    bk = jax.jit(lambda b: be.prep1(b, p))(jnp.asarray(bku))
+    yield bk
+    pm._mm_dtypes.cache_clear()
+    pm._use_full_fwd.cache_clear()
+
+
+def test_br3_unrolled_truth_tables(toy, toy_sk, toy_dk, mxu_bku, rng):
+    """The M=3 kernel path (2-bit unrolled key, shared decomposition,
+    three twiddle rows per step) bootstraps correctly."""
+    from iyokan_tpu.ops.pallas_br3 import blind_rotate_pallas3
+
+    p = toy
+    combos = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    kinds = [gates.NAND, gates.XOR]
+    rows_a, rows_b, cas, cbs, ks = [], [], [], [], []
+    for kind in kinds:
+        ca, cb, k = gates.GATE_LIN[kind]
+        for (a, b) in combos:
+            rows_a.append(a); rows_b.append(b)
+            cas.append(ca); cbs.append(cb); ks.append(k)
+    A = jnp.asarray(host.encrypt_bits(toy_sk, np.array(rows_a), rng))
+    B = jnp.asarray(host.encrypt_bits(toy_sk, np.array(rows_b), rng))
+
+    pre = ops.gate_linear(A, B, jnp.asarray(cas, jnp.int32),
+                          jnp.asarray(cbs, jnp.int32),
+                          jnp.asarray(ks, jnp.int32), p)
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+    acc = blind_rotate_pallas3(pre, mxu_bku, testv, p, block_g=8)
+    t1 = ops.sample_extract(acc, 0)
+    out = ops.keyswitch_10(t1, toy_dk.ksk_mat, p)
+
+    ph = host.tlwe0_phase(toy_sk, np.asarray(out))
+    got = (ph < (1 << 31)).astype(int)
+    plain = {
+        gates.NAND: lambda a, b: 1 - (a & b),
+        gates.XOR: lambda a, b: a ^ b,
+    }
+    i = 0
+    for kind in kinds:
+        for (a, b) in combos:
+            want = plain[kind](a, b)
+            assert got[i] == want, (
+                f"{gates.NAMES[kind]}({a},{b}) = {got[i]}, want {want}"
+            )
+            i += 1
+
+
 def test_br3_gate_bootstrap_truth_tables(toy, toy_sk, toy_dk, mxu_bk, rng):
     from iyokan_tpu.ops.pallas_br3 import blind_rotate_pallas3
 
