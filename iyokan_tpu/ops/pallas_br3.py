@@ -181,8 +181,15 @@ def _kernel(p: Params, n_steps, M, ablate, abar_ref, acc0_ref, fwd_ref,
         return pltpu.make_async_copy(bk_hbm.at[i], bk_buf.at[slot],
                                      sems.at[slot])
 
+    # tw12-on-VPU: fetch twiddle rows only for a1 and a2 and derive the
+    # a1+a2 row as t12 = t1*t2 + t1 + t2 (from X^(a1+a2)-1 =
+    # (X^a1-1)(X^a2-1) + (X^a1-1) + (X^a2-1)), trading one third of the
+    # one-hot matmul work for ~10 VPU lane-ops per element.
+    tw12_vpu = M == 3 and os.environ.get("IYOKAN_BR3_TW12") == "vpu"
+    Mt = 2 if tw12_vpu else M
+
     dma(0, 0).start()
-    iota2n = jax.lax.broadcasted_iota(i32, (M * BG, 2 * N), 1)
+    iota2n = jax.lax.broadcasted_iota(i32, (Mt * BG, 2 * N), 1)
 
     def body(i, acc):
         slot = jax.lax.rem(i, 2)
@@ -213,11 +220,11 @@ def _kernel(p: Params, n_steps, M, ablate, abar_ref, acc0_ref, fwd_ref,
             d8 = jnp.stack(rows, axis=1).astype(i8).reshape(BG * 6, N)
 
         # one-hot of the per-gate rotation amounts (shared by all primes)
-        a_i = abar_ref[i].reshape(M * BG)              # [M*BG]
+        a_i = abar_ref[i, :Mt].reshape(Mt * BG)        # [Mt*BG]
         if "onehot" in ablate:
             oh = (iota2n & 1).astype(i8)
         else:
-            oh = (iota2n == a_i[:, None]).astype(i8)   # [M*BG, 2N]
+            oh = (iota2n == a_i[:, None]).astype(i8)   # [Mt*BG, 2N]
 
         def mm(a, b):
             return jax.lax.dot_general(
@@ -249,8 +256,16 @@ def _kernel(p: Params, n_steps, M, ablate, abar_ref, acc0_ref, fwd_ref,
                 dn = zs[pi][0].reshape(BG, 6, N)
             else:
                 dn = _fwd_reduce(*zs[pi], pr).reshape(BG, 6, N)
-            tw = ((ts[pi][0] << 8) + ts[pi][1]).reshape(M, BG, N)
+            twm = ((ts[pi][0] << 8) + ts[pi][1]).reshape(Mt, BG, N)
             red = _coarse if _relaxed(pr) else _full
+            if tw12_vpu:
+                # t1, t2 are exact-centered table rows (+-p/2): the
+                # product fits int32 for every prime; relaxed primes
+                # tolerate a +-3p/2 t12 downstream, the rest pin it.
+                t12 = red(twm[0] * twm[1] + twm[0] + twm[1], pr)
+                tw = [twm[0], twm[1], t12]
+            else:
+                tw = twm
             if "pointwise" in ablate:
                 ss = [(dn[:, 0, :], dn[:, 0, :])] * M
             else:

@@ -51,10 +51,15 @@ def mxu_bku(toy, toy_ek, monkeypatch):
     pm._use_full_fwd.cache_clear()
 
 
-def test_br3_unrolled_truth_tables(toy, toy_sk, toy_dk, mxu_bku, rng):
+@pytest.mark.parametrize("tw12", ["", "vpu"])
+def test_br3_unrolled_truth_tables(toy, toy_sk, toy_dk, mxu_bku, rng,
+                                   monkeypatch, tw12):
     """The M=3 kernel path (2-bit unrolled key, shared decomposition,
-    three twiddle rows per step) bootstraps correctly."""
+    three twiddle rows per step) bootstraps correctly -- with the a1+a2
+    twiddle row fetched by one-hot matmul or derived on the VPU."""
     from iyokan_tpu.ops.pallas_br3 import blind_rotate_pallas3
+
+    monkeypatch.setenv("IYOKAN_BR3_TW12", tw12)
 
     p = toy
     combos = [(0, 0), (0, 1), (1, 0), (1, 1)]
