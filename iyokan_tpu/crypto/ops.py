@@ -293,6 +293,12 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
             from ..ops.pallas_br2 import blind_rotate_pallas2
 
             return blind_rotate_pallas2(tlwe0, bk_prep, testv, p)
+    if bk_prep.ndim == 4 and bk_prep.dtype == jnp.int8:
+        # Toeplitz-slab kernel key [n, 2l, N, 2*L*128] (built only when
+        # IYOKAN_BR_IMPL=tkey): the no-NTT direct-convolution kernel.
+        from ..ops.pallas_tk import blind_rotate_tkey
+
+        return blind_rotate_tkey(tlwe0, bk_prep, testv, p)
     if (
         impl == "v3"
         and bk_prep.ndim == 5
@@ -514,13 +520,20 @@ class DeviceKeys:
         if ek.bk2.shape[0] == 0:
             with_cb = False
 
-        bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
+        if os.environ.get("IYOKAN_BR_IMPL") == "tkey":
+            # Toeplitz-slab key (host expansion + one transfer): the
+            # gate-bootstrap path runs the no-NTT ops/pallas_tk kernel.
+            L = int(os.environ.get("IYOKAN_TKEY_LIMBS", "3"))
+            bkntt = jnp.asarray(polymul.tkey_kernel_key(ek.bk, p, L))
+        else:
+            bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
         if os.environ.get("IYOKAN_EP") == "pallas" and be.name == "mxu":
             from ..ops.pallas_ep import prep_kernel_key
 
             bkntt = jax.jit(lambda b: prep_kernel_key(b, p.N))(bkntt)
         bkuntt = None
-        if ek.bku is not None and not os.environ.get("IYOKAN_NO_UNROLL"):
+        if (ek.bku is not None and not os.environ.get("IYOKAN_NO_UNROLL")
+                and os.environ.get("IYOKAN_BR_IMPL") != "tkey"):
             bku = ek.bku.reshape(ek.bku.shape[0], 3 * 2 * p.l, 2, p.N)
             bkuntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bku))
         ksk_mat = jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1))

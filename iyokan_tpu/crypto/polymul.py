@@ -932,3 +932,89 @@ def get_backend(name: str = None):
     if name is None:
         name = "crt64" if jax.default_backend() == "cpu" else "mxu"
     return _BACKENDS[name]
+
+
+# --------------------------------------------------------------------------- #
+# Toeplitz-slab key expansion (the "tkey" external product)
+# --------------------------------------------------------------------------- #
+#
+# The NTT pipeline spends ~80% of kernel time on VPU modular plumbing
+# (measured by stage ablation of ops/pallas_br3.py).  The tkey form removes
+# the NTT entirely: the negacyclic convolution against the *shared* per-step
+# TRGSW rows is a plain int8 matmul against a precomputed Toeplitz window of
+# the key, exact mod 2^32 by construction -- no primes, no Barrett, no CRT.
+#
+#   out[g, u, 128K + b] = sum_{j,t} ext[g, j, 128(K+1) + t] * slab[j,u][t, b]
+#
+# with ext = [d, -d] the negacyclic digit extension and
+# slab[t, b] = E[N - 128 + b - t], where E[m] = -key[m] for 0 <= m < N,
+# +key[m + N] for -128 <= m < 0, +key[0] for m = N (signs verified by the
+# unit impulse d = delta_0 and tested bit-exactly against polymul_u32).
+#
+# The key is limb-decomposed into balanced radix-256 int8 limbs; keeping the
+# top `limbs` of 4 trades HBM (4 limbs = 3.8 GB at cggi128) against a
+# truncation noise of sigma ~ 2^-10.6 total at limbs=3 (negligible vs the
+# 2^-8.8 bootstrap noise; see tests/test_noise_and_params.py).
+# Replaces the cuFHE NTT bootstrap kernel role (thirdparty/cuFHE).
+
+
+def tkey_prep1(bk_u32: np.ndarray, p: Params, limbs: int = 3) -> np.ndarray:
+    """Host: TRGSW rows u32 [n, RR, 2, N] -> Toeplitz slabs
+    int8 [n, RR, 2, limbs, N, 128] (limbs are the TOP `limbs` balanced
+    radix-256 digits: scales 256^(4-limbs) .. 256^3)."""
+    n, RR, two, N = bk_u32.shape
+    assert N % 128 == 0 and two == 2
+    key = bk_u32.astype(np.int64)
+    # E[m] over m in [-128, N]: stored at index m + 128, length N + 129
+    E = np.empty((n, RR, 2, N + 129), np.int64)
+    E[..., 128 : 128 + N] = -key
+    E[..., :128] = key[..., N - 128 :]
+    E[..., 128 + N] = key[..., 0]
+    # balanced radix-256 limbs, top `limbs` kept
+    v = E & 0xFFFFFFFF
+    v = np.where(v >> 31, v - (1 << 32), v)           # centered mod 2^32
+    ls = []
+    for _ in range(4):
+        l0 = ((v + 128) & 255) - 128
+        ls.append(l0.astype(np.int8))
+        v = (v - l0) >> 8
+    lim = np.stack(ls[4 - limbs :], axis=-2)          # [n, RR, 2, L, N+129]
+    # slab[t, b] = E[N - 128 + b - t] = buf[(N + b) - t] with buf = lim
+    # (index m+128); as_strided: stride -1 over t, +1 over b, base N + b=0
+    s = lim.strides[-1]
+    view = np.lib.stride_tricks.as_strided(
+        lim[..., N:],                                  # base at m = N - 128
+        shape=lim.shape[:-1] + (N, 128),
+        strides=lim.strides[:-1] + (-s, s),
+    )
+    return np.ascontiguousarray(view)
+
+
+def tkey_extprod_ref(digits: np.ndarray, slabs: np.ndarray,
+                     limbs: int) -> np.ndarray:
+    """Numpy reference of the slab matmul path (for tests): digits int
+    [G, RR, N], slabs int8 [RR, 2, L, N, 128] -> u32 [G, 2, N]."""
+    G, RR, N = digits.shape
+    ext = np.concatenate([digits, -digits], axis=-1).astype(np.int64)
+    out = np.zeros((G, 2, N), np.int64)
+    for K in range(N // 128):
+        w = 128 * (K + 1)
+        lhs = ext[:, :, w : w + N]                     # [G, RR, N]
+        for u in range(2):
+            for li in range(limbs):
+                z = np.einsum(
+                    "gjt,jtb->gb", lhs, slabs[:, u, li].astype(np.int64)
+                )
+                sh = 8 * (4 - limbs + li)
+                out[:, u, 128 * K : 128 * K + 128] += z << sh
+    return (out & 0xFFFFFFFF).astype(np.uint32)
+
+
+def tkey_kernel_key(bk_u32: np.ndarray, p: Params, limbs: int = 3) -> np.ndarray:
+    """Host: TRGSW rows -> the ops/pallas_tk kernel key layout
+    int8 [n, 2l, N, 2*limbs*128] (columns ordered (u, limb, 128))."""
+    slab = tkey_prep1(bk_u32, p, limbs)        # [n, RR, 2, L, N, 128]
+    k = np.transpose(slab, (0, 1, 4, 2, 3, 5))
+    return np.ascontiguousarray(
+        k.reshape(k.shape[:3] + (2 * limbs * 128,))
+    )

@@ -1,0 +1,120 @@
+"""Toeplitz-slab external product / blind rotation (ops/pallas_tk.py).
+
+The tkey form computes the negacyclic convolution against the key as int8
+matmuls on precomputed Toeplitz windows, exact mod 2^32: with all 4 limbs
+the blind rotation is bit-identical to the XLA path; the 3-limb default is
+checked at the decrypt level.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iyokan_tpu import gates
+from iyokan_tpu.crypto import host, ops
+from iyokan_tpu.crypto import polymul as pm
+
+
+def _conv_ref(d: np.ndarray, key: np.ndarray) -> np.ndarray:
+    """Negacyclic convolution sum_j d_j (*) key_j,u mod 2^32 (numpy)."""
+    G, RR, N = d.shape
+    out = np.zeros((G, 2, N), np.uint64)
+    for j in range(RR):
+        for u in range(2):
+            for k in range(N):
+                row = d[:, j, k].astype(np.int64)
+                shifted = np.roll(key[j, u].astype(np.int64), k)
+                shifted[:k] = -shifted[:k]
+                out[:, u, :] += (row[:, None] * shifted).astype(np.uint64)
+    return (out & 0xFFFFFFFF).astype(np.uint32)
+
+
+def test_tkey_slab_matmul_exact_4limb(toy, rng):
+    """Slab path == direct negacyclic convolution, bit-exact at 4 limbs."""
+    p = toy
+    RR = 2 * p.l
+    key = rng.integers(0, 1 << 32, (1, RR, 2, p.N), dtype=np.uint32)
+    slabs = pm.tkey_prep1(key, p, limbs=4)[0]
+    d = rng.integers(-p.Bg // 2, p.Bg // 2, (4, RR, p.N)).astype(np.int32)
+    got = pm.tkey_extprod_ref(d, slabs, 4)
+    want = _conv_ref(d, key[0])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tkey_truncation_small(toy, rng):
+    """3-limb truncation error is bounded by the dropped limb's scale."""
+    p = toy
+    RR = 2 * p.l
+    key = rng.integers(0, 1 << 32, (1, RR, 2, p.N), dtype=np.uint32)
+    d = rng.integers(-p.Bg // 2, p.Bg // 2, (4, RR, p.N)).astype(np.int32)
+    exact = pm.tkey_extprod_ref(d, pm.tkey_prep1(key, p, limbs=4)[0], 4)
+    trunc = pm.tkey_extprod_ref(d, pm.tkey_prep1(key, p, limbs=3)[0], 3)
+    err = (exact.astype(np.int64) - trunc.astype(np.int64)) % (1 << 32)
+    err = np.where(err >= 1 << 31, err - (1 << 32), err)
+    # |sum of RR*N products of |d|<=Bg/2 by a dropped limb| <= RR*N*Bg/2*128
+    bound = RR * p.N * (p.Bg // 2) * 128
+    assert np.abs(err).max() <= bound
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setenv("IYOKAN_PALLAS_INTERPRET", "1")
+
+
+def test_tkey_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk, toy_sk, rng):
+    """4-limb tkey blind rotation is bit-identical to the XLA path."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    bits = rng.integers(0, 2, 8, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+
+    bk_tk = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4))
+    got = np.asarray(blind_rotate_tkey(ct, bk_tk, testv, p, block_g=8))
+    want = np.asarray(ops.blind_rotate(ct, toy_dk.bkntt, testv, p,
+                                       toy_dk.backend))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tkey_gate_bootstrap_truth_tables(toy, toy_sk, toy_dk, toy_ek, rng):
+    """3-limb default: NAND/XOR truth tables through the tkey kernel."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    combos = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    kinds = [gates.NAND, gates.XOR]
+    rows_a, rows_b, cas, cbs, ks = [], [], [], [], []
+    for kind in kinds:
+        ca, cb, k = gates.GATE_LIN[kind]
+        for (a, b) in combos:
+            rows_a.append(a); rows_b.append(b)
+            cas.append(ca); cbs.append(cb); ks.append(k)
+    A = jnp.asarray(host.encrypt_bits(toy_sk, np.array(rows_a), rng))
+    B = jnp.asarray(host.encrypt_bits(toy_sk, np.array(rows_b), rng))
+
+    pre = ops.gate_linear(A, B, jnp.asarray(cas, jnp.int32),
+                          jnp.asarray(cbs, jnp.int32),
+                          jnp.asarray(ks, jnp.int32), p)
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+    bk_tk = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=3))
+    acc = blind_rotate_tkey(pre, bk_tk, testv, p, block_g=8)
+    t1 = ops.sample_extract(acc, 0)
+    out = ops.keyswitch_10(t1, toy_dk.ksk_mat, p)
+
+    ph = host.tlwe0_phase(toy_sk, np.asarray(out))
+    got = (ph < (1 << 31)).astype(int)
+    plain = {
+        gates.NAND: lambda a, b: 1 - (a & b),
+        gates.XOR: lambda a, b: a ^ b,
+    }
+    i = 0
+    for kind in kinds:
+        for (a, b) in combos:
+            want = plain[kind](a, b)
+            assert got[i] == want, (
+                f"{gates.NAMES[kind]}({a},{b}) = {got[i]}, want {want}"
+            )
+            i += 1

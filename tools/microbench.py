@@ -499,6 +499,126 @@ def pk_bdot_case():
           f"   {macs/dt/1e12:8.2f} TOPS (batched)")
 
 
+def tkey_step_case():
+    """One Toeplitz-slab blind-rotate step (XLA form): the whole external
+    product as 48*L [BG,1024]x[1024,128] int8 matmuls against per-(j,u,limb)
+    key slabs (K-blocks share the slab), plus decompose, digit extension,
+    j-sum, limb combine and accumulator update.  Target: <= ~250 us/step
+    at BG=1024 for 10k bootstraps/s over 635 steps."""
+    L = int(os.environ.get("BENCH_TKEY_L", "3"))
+    BG = G
+    N = P.N
+    slabs = jnp.ones((6, 2, L, N, 128), i8)
+    acc0 = jnp.ones((BG, 2, N), u32)
+    offset = sum((P.Bg // 2) << (32 - (j + 1) * P.Bgbit) for j in range(P.l))
+    offset += 1 << (31 - P.l * P.Bgbit)
+
+    def op(acc):
+        # decompose -> ext [BG, 6, 2N]
+        xp = acc + u32(offset & 0xFFFFFFFF)
+        rows = []
+        for part in range(2):
+            for j in range(P.l):
+                sh = 32 - (j + 1) * P.Bgbit
+                d = ((xp[:, part, :] >> u32(sh))
+                     & u32(P.Bg - 1)).astype(i32) - P.Bg // 2
+                rows.append(d.astype(i8))
+        d8 = jnp.stack(rows, axis=1)                      # [BG, 6, N]
+        ext = jnp.concatenate([d8, -d8], axis=-1)         # [BG, 6, 2N]
+
+        outs = []
+        for u in range(2):
+            zl = []
+            for li in range(L):
+                ks = []
+                for K in range(8):
+                    w = 128 * (K + 1)
+                    s = None
+                    for j in range(6):
+                        t = jax.lax.dot_general(
+                            ext[:, j, w:w + N], slabs[j, u, li],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=i32)
+                        s = t if s is None else s + t
+                    ks.append(s)
+                zl.append(jnp.concatenate(ks, axis=-1))   # [BG, N]
+            z = zl[0].astype(u32)
+            for li in range(1, L):
+                z = z + (zl[li].astype(u32) << u32(8 * li))
+            outs.append(z)
+        w = jnp.stack(outs, axis=1)                       # [BG, 2, N]
+        return acc + w
+
+    dt = timeit(f"tkey step L={L} BG={BG}", chain(op, acc0))
+    macs = 48 * L * BG * P.N * 128
+    print(f"    -> {macs/dt/1e12:.1f} TOPS   "
+          f"(635 steps = {dt*635*1e3:.1f} ms -> "
+          f"{BG/(dt*635):.0f} gates/s)")
+
+
+def tkey_step_rot_case():
+    """tkey step + the per-gate barrel rotation (rotate-first CMUX)."""
+    os.environ.setdefault("BENCH_TKEY_L", "3")
+    L = int(os.environ["BENCH_TKEY_L"])
+    BG = G
+    N = P.N
+    slabs = jnp.ones((6, 2, L, N, 128), i8)
+    acc0 = jnp.ones((BG, 2, N), u32)
+    r = jnp.arange(BG, dtype=i32) % (2 * N)
+    offset = sum((P.Bg // 2) << (32 - (j + 1) * P.Bgbit) for j in range(P.l))
+    offset += 1 << (31 - P.l * P.Bgbit)
+
+    def op(acc):
+        diff = ops.rot_poly(acc, r[:, None], N) - acc
+        xp = diff + u32(offset & 0xFFFFFFFF)
+        rows = []
+        for part in range(2):
+            for j in range(P.l):
+                sh = 32 - (j + 1) * P.Bgbit
+                d = ((xp[:, part, :] >> u32(sh))
+                     & u32(P.Bg - 1)).astype(i32) - P.Bg // 2
+                rows.append(d.astype(i8))
+        d8 = jnp.stack(rows, axis=1)
+        ext = jnp.concatenate([d8, -d8], axis=-1)
+        outs = []
+        for u in range(2):
+            zl = []
+            for li in range(L):
+                ks = []
+                for K in range(8):
+                    w = 128 * (K + 1)
+                    s = None
+                    for j in range(6):
+                        t = jax.lax.dot_general(
+                            ext[:, j, w:w + N], slabs[j, u, li],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=i32)
+                        s = t if s is None else s + t
+                    ks.append(s)
+                zl.append(jnp.concatenate(ks, axis=-1))
+            z = zl[0].astype(u32)
+            for li in range(1, L):
+                z = z + (zl[li].astype(u32) << u32(8 * li))
+            outs.append(z)
+        w = jnp.stack(outs, axis=1)
+        return acc + w
+
+    dt = timeit(f"tkey step+rot L={L} BG={BG}", chain(op, acc0))
+    print(f"    -> 635 steps = {dt*635*1e3:.1f} ms -> "
+          f"{BG/(dt*635):.0f} gates/s")
+
+
+def h2d_case():
+    """Host->device transfer rate (sized for the 2.9 GB tkey key)."""
+    a = np.ones((256, 1024, 1024), np.int8)               # 256 MB
+    t0 = time.time()
+    x = jnp.asarray(a)
+    np.asarray(x[0, 0, :1])
+    dt = time.time() - t0
+    print(f"{'h2d 256MB':34s} {dt*1e3:10.1f} ms        "
+          f"({0.25/dt:.2f} GB/s; 2.9GB key ~ {2.9/ (0.25/dt):.0f} s)")
+
+
 CASES.update({
     "pk_vpu": pk_vpu_case, "pk_f32": pk_f32_case,
     "pk_barrett": pk_barrett_case, "pk_roll": pk_roll_case,
@@ -506,6 +626,8 @@ CASES.update({
     "pk_bdot": pk_bdot_case, "pk_i16": pk_i16_case,
     "pk_i32var": pk_i32var_case, "pk_conv": pk_conv_case,
     "pk_select": pk_select_case,
+    "tkey_step": tkey_step_case, "tkey_step_rot": tkey_step_rot_case,
+    "h2d": h2d_case,
 })
 
 
