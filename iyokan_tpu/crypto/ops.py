@@ -293,9 +293,10 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
             from ..ops.pallas_br2 import blind_rotate_pallas2
 
             return blind_rotate_pallas2(tlwe0, bk_prep, testv, p)
-    if bk_prep.ndim == 4 and bk_prep.dtype == jnp.int8:
-        # Toeplitz-slab kernel key [n, 2l, N, 2*L*128] (built only when
-        # IYOKAN_BR_IMPL=tkey): the no-NTT direct-convolution kernel.
+    if bk_prep.ndim in (3, 4) and bk_prep.dtype == jnp.int8:
+        # Toeplitz-slab kernel key (built only when IYOKAN_BR_IMPL=tkey):
+        # the no-NTT direct-convolution kernel.  [n, 2l, N, 2L*128] =
+        # thin layout, [n, 2l*N, 2L*128] = fat (j in the contraction).
         from ..ops.pallas_tk import blind_rotate_tkey
 
         return blind_rotate_tkey(tlwe0, bk_prep, testv, p)
@@ -524,7 +525,8 @@ class DeviceKeys:
             # Toeplitz-slab key (host expansion + one transfer): the
             # gate-bootstrap path runs the no-NTT ops/pallas_tk kernel.
             L = int(os.environ.get("IYOKAN_TKEY_LIMBS", "3"))
-            bkntt = jnp.asarray(polymul.tkey_kernel_key(ek.bk, p, L))
+            lay = os.environ.get("IYOKAN_TK_LAYOUT", "thin")
+            bkntt = jnp.asarray(polymul.tkey_kernel_key(ek.bk, p, L, lay))
         else:
             bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
         if os.environ.get("IYOKAN_EP") == "pallas" and be.name == "mxu":

@@ -1010,11 +1010,22 @@ def tkey_extprod_ref(digits: np.ndarray, slabs: np.ndarray,
     return (out & 0xFFFFFFFF).astype(np.uint32)
 
 
-def tkey_kernel_key(bk_u32: np.ndarray, p: Params, limbs: int = 3) -> np.ndarray:
-    """Host: TRGSW rows -> the ops/pallas_tk kernel key layout
-    int8 [n, 2l, N, 2*limbs*128] (columns ordered (u, limb, 128))."""
+def tkey_kernel_key(bk_u32: np.ndarray, p: Params, limbs: int = 3,
+                    layout: str = "thin") -> np.ndarray:
+    """Host: TRGSW rows -> the ops/pallas_tk kernel key layout.
+
+    layout="thin": int8 [n, 2l, N, 2*limbs*128] -- one dot per (j, K).
+    layout="fat":  int8 [n, 2l*N, 2*limbs*128] with contraction rows
+    ordered (t//128, j, t%128), matching the 128-lane-interleaved digit
+    extension -- j folds into the contraction, one dot per K.
+    Columns are (u, limb, 128) in both."""
     slab = tkey_prep1(bk_u32, p, limbs)        # [n, RR, 2, L, N, 128]
     k = np.transpose(slab, (0, 1, 4, 2, 3, 5))
-    return np.ascontiguousarray(
+    k = np.ascontiguousarray(
         k.reshape(k.shape[:3] + (2 * limbs * 128,))
-    )
+    )                                          # [n, RR, N, 2L*128]
+    if layout == "thin":
+        return k
+    n, RR, N, C = k.shape
+    kf = k.reshape(n, RR, N // 128, 128, C).transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(kf.reshape(n, RR * N, C))

@@ -46,8 +46,12 @@ i32 = jnp.int32
 i8 = jnp.int8
 
 
-def _kernel(p: Params, n_steps, L, abar_ref, acc0_ref, bk_hbm, out_ref,
-            bk_buf, sems):
+def _kernel(p: Params, n_steps, L, fat, ablate, abar_ref, acc0_ref, bk_hbm,
+            out_ref, bk_buf, sems):
+    """fat=False: one dot [BG, N] x [N, 2L*128] per (j, K).
+    fat=True: the digit extension is interleaved at 128-lane granularity
+    as lanes (block, j, 128) so j folds into the contraction: one dot
+    [BG, RR*N] x [RR*N, 2L*128] per K."""
     N = p.N
     BG = acc0_ref.shape[0]
     NB = N // 128
@@ -75,34 +79,71 @@ def _kernel(p: Params, n_steps, L, abar_ref, acc0_ref, bk_hbm, out_ref,
 
         # rotate-first CMUX: diff = X^r * acc - acc (barrel, in VMEM)
         r = abar_ref[i, :]                             # [BG]
-        rot = cops.rot_poly(acc, r[:, None], N)
-        diff = rot - acc
-
-        # gadget decomposition -> negacyclic digit extension [BG,RR,2N] i8
-        xp = diff + u32(offset & 0xFFFFFFFF)
-        rows = []
-        for part in range(2):
-            for j in range(p.l):
-                sh = 32 - (j + 1) * p.Bgbit
-                d = ((xp[:, part, :] >> u32(sh))
-                     & u32(p.Bg - 1)).astype(i32) - p.Bg // 2
-                rows.append(d)
-        d = jnp.stack(rows, axis=1)                    # [BG, RR, N] i32
-        # negate before the i8 cast: Mosaic has no packed-i8 subtraction
-        ext = jnp.concatenate([d, -d], axis=-1).astype(i8)  # [BG, RR, 2N]
+        if "rot" in ablate:
+            diff = acc + acc
+        else:
+            rot = cops.rot_poly(acc, r[:, None], N)
+            diff = rot - acc
 
         def mm(a, b):
             return jax.lax.dot_general(
                 a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=i32)
 
+        # gadget decomposition -> negacyclic digit extension, i8.
+        # negate before the i8 cast: Mosaic has no packed-i8 subtraction
+        if "decompose" in ablate:
+            d = jnp.broadcast_to(
+                diff[:, :1, :].astype(i32) & 31, (BG, RR, N))
+            ext = jnp.concatenate([d, -d], axis=-1).astype(i8)
+        elif fat:
+            # lanes ordered (block, j, 128): negacyclic blocks 0..NB-1
+            # are +d, NB..2NB-1 are -d.  Every piece is an elementwise
+            # function of a 128-aligned lane slice of a 2D array, so all
+            # concat operands share tile offset {0,0} (Mosaic's
+            # tpu.concatenate rejects mixed sublane offsets, which
+            # slicing a [BG, RR, N] stack across RR would produce).
+            xparts = [diff[:, 0, :] + u32(offset & 0xFFFFFFFF),
+                      diff[:, 1, :] + u32(offset & 0xFFFFFFFF)]
+            pieces = []
+            for b in range(2 * NB):
+                neg = b >= NB
+                bb = b - NB if neg else b
+                for part in range(2):
+                    for j in range(p.l):
+                        sh = 32 - (j + 1) * p.Bgbit
+                        w = ((xparts[part][:, 128 * bb:128 * (bb + 1)]
+                              >> u32(sh)) & u32(p.Bg - 1)).astype(i32)
+                        pieces.append(p.Bg // 2 - w if neg
+                                      else w - p.Bg // 2)
+            ext = jnp.concatenate(pieces, axis=-1).astype(i8)
+        else:
+            xp = diff + u32(offset & 0xFFFFFFFF)
+            rows = []
+            for part in range(2):
+                for j in range(p.l):
+                    sh = 32 - (j + 1) * p.Bgbit
+                    d_ = ((xp[:, part, :] >> u32(sh))
+                          & u32(p.Bg - 1)).astype(i32) - p.Bg // 2
+                    rows.append(d_)
+            d = jnp.stack(rows, axis=1)                # [BG, RR, N] i32
+            ext = jnp.concatenate([d, -d], axis=-1).astype(i8)
+
+        grp = RR * 128
         wks = []
         for K in range(NB):
             w0 = 128 * (K + 1)
-            s = None
-            for j in range(RR):
-                t = mm(ext[:, j, w0:w0 + N], bk[j])    # [BG, 2*L*128]
-                s = t if s is None else s + t
+            if "mm" in ablate:
+                s = jnp.broadcast_to(ext[:, :1].astype(i32)
+                                     if fat else ext[:, 0, :1].astype(i32),
+                                     (BG, 2 * L * 128))
+            elif fat:
+                s = mm(ext[:, grp * (K + 1):grp * (K + 1) + RR * N], bk)
+            else:
+                s = None
+                for j in range(RR):
+                    t = mm(ext[:, j, w0:w0 + N], bk[j])  # [BG, 2*L*128]
+                    s = t if s is None else s + t
             # limb recombination, exact mod 2^32 (columns are
             # [u, limb, 128] with limb scales 256^(4-L) .. 256^3)
             zu = []
@@ -121,9 +162,12 @@ def _kernel(p: Params, n_steps, L, abar_ref, acc0_ref, bk_hbm, out_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _call(p: Params, G: int, BG: int, n_steps: int, L: int):
-    kernel = functools.partial(_kernel, p, n_steps, L)
+def _call(p: Params, G: int, BG: int, n_steps: int, L: int, fat: bool,
+          ablate: frozenset = frozenset()):
+    kernel = functools.partial(_kernel, p, n_steps, L, fat, ablate)
     RR = 2 * p.l
+    bk_scratch = ((2, RR * p.N, 2 * L * 128) if fat
+                  else (2, RR, p.N, 2 * L * 128))
 
     return pl.pallas_call(
         kernel,
@@ -139,7 +183,7 @@ def _call(p: Params, G: int, BG: int, n_steps: int, L: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 2, p.N), u32),
         scratch_shapes=[
-            pltpu.VMEM((2, RR, p.N, 2 * L * 128), i8),
+            pltpu.VMEM(bk_scratch, i8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -152,10 +196,12 @@ def _call(p: Params, G: int, BG: int, n_steps: int, L: int):
 def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
                       testv: jnp.ndarray, p: Params,
                       block_g: int = None) -> jnp.ndarray:
-    """Drop-in for ops.blind_rotate given a tkey-layout key
-    (u32 [n, 2l, N, 2*L*128] int8, from DeviceKeys/tkey_device_prep)."""
+    """Drop-in for ops.blind_rotate given a tkey-layout key: int8
+    [n, 2l, N, 2*L*128] (thin) or [n, 2l*N, 2*L*128] (fat), from
+    crypto/polymul.tkey_kernel_key."""
     from ..crypto import ops as cops
 
+    fat = bk_tk.ndim == 3
     L = bk_tk.shape[-1] // 256
     if block_g is None:
         block_g = int(os.environ.get("IYOKAN_PALLAS_BG", "1024"))
@@ -175,5 +221,8 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     )
     acc0 = jnp.stack([jnp.zeros((Gp, p.N), u32), acc_b], axis=1)
 
-    out = _call(p, Gp, BG, p.n, L)(abar.T, acc0, bk_tk)
+    ablate = frozenset(
+        x for x in os.environ.get("IYOKAN_TK_ABLATE", "").split(",") if x
+    )
+    out = _call(p, Gp, BG, p.n, L, fat, ablate)(abar.T, acc0, bk_tk)
     return out[:G]

@@ -79,6 +79,23 @@ def test_tkey_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk, toy_sk, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_tkey_blind_rotate_fat_layout(toy, toy_ek, toy_dk, toy_sk, rng):
+    """Fat-layout key (j folded into the contraction) == thin layout."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    bits = rng.integers(0, 2, 8, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+
+    bk_fat = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
+                                            layout="fat"))
+    got = np.asarray(blind_rotate_tkey(ct, bk_fat, testv, p, block_g=8))
+    want = np.asarray(ops.blind_rotate(ct, toy_dk.bkntt, testv, p,
+                                       toy_dk.backend))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_tkey_gate_bootstrap_truth_tables(toy, toy_sk, toy_dk, toy_ek, rng):
     """3-limb default: NAND/XOR truth tables through the tkey kernel."""
     from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
