@@ -158,7 +158,9 @@ def rot_poly(poly: jnp.ndarray, r: jnp.ndarray, N: int) -> jnp.ndarray:
         rolled = _nega_roll(x, 1 << b, N) if (1 << b) <= N else (
             jnp.zeros((), x.dtype) - x
         )
-        bit = ((r >> b) & 1).astype(bool)[..., None]
+        # minor-dim insertion happens on the 32-bit value, not the i1:
+        # Mosaic only supports non-no-op minor reshapes for 32-bit types
+        bit = ((r[..., None] >> b) & 1) != 0
         x = jnp.where(bit, rolled, x)
     return x
 

@@ -11,14 +11,27 @@ window of the key (crypto/polymul.tkey_prep1):
   out[g, u, 128K + b] = sum_{j,t} ext[g, j, 128(K+1) + t] * slab_j[t, ub]
 
 with ext = [d, -d] the negacyclic digit extension.  All slices are
-128-lane-aligned static windows (no relayouts); each step is 6j x N/128
-dots of [BG, N] x [N, 2*L*128] int8 -> int32, whose products
+128-lane-aligned static windows (no relayouts); products
 (|d| <= Bg/2 = 32, |limb| <= 128, contraction N, j-sum 2l = 6) stay inside
 int32: 6*1024*32*128 < 2^25.  Limb recombination is u32 shift-adds (exact
 mod 2^32); with all 4 key limbs the result is bit-identical to the XLA
 blind rotate.  The default keeps the top 3 limbs (2.9 GB key instead of
 3.8 GB), adding truncation noise of sigma ~ 2^-10.6 against the 2^-8.8
 bootstrap noise (see tests/test_noise_and_params.py).
+
+Key layouts (crypto/polymul.tkey_kernel_key):
+  thin [n, 2l, N, 2L*128] -- per step, 2l x N/128 dots [BG,N] x [N,2L*128]
+       with an i32 accumulate chain over j.
+  fat  [n, 2l*N, 2L*128], contraction rows ordered (block, j, 128) -- the
+       digit extension is interleaved at 128-lane granularity so the j-sum
+       folds into the contraction: one dot [BG, 2l*N] x [2l*N, 2L*128] per
+       output block K (or two complementary-length dots on the +d half
+       alone with IYOKAN_TK_DOTS=split, the default: the negacyclic
+       wraparound becomes a subtraction, halving the extension build).
+
+The accumulator is carried as two separate [BG, N] arrays (the a and b
+TRLWE parts): Mosaic's tpu.concatenate requires all operands at tile
+offset {0,0}, which part-slices of a [BG, 2, N] array would violate.
 
 The per-gate rotation is the rotate-first CMUX form: acc's barrel rotation
 (ops.rot_poly, log2(2N) static rolls + selects) runs inside the kernel on
@@ -46,14 +59,10 @@ i32 = jnp.int32
 i8 = jnp.int8
 
 
-def _kernel(p: Params, n_steps, L, fat, ablate, abar_ref, acc0_ref, bk_hbm,
-            out_ref, bk_buf, sems):
-    """fat=False: one dot [BG, N] x [N, 2L*128] per (j, K).
-    fat=True: the digit extension is interleaved at 128-lane granularity
-    as lanes (block, j, 128) so j folds into the contraction: one dot
-    [BG, RR*N] x [RR*N, 2L*128] per K."""
+def _kernel(p: Params, n_steps, L, fat, split, ablate, abar_ref, acca_ref,
+            accb_ref, bk_hbm, outa_ref, outb_ref, bk_buf, sems):
     N = p.N
-    BG = acc0_ref.shape[0]
+    BG = acca_ref.shape[0]
     NB = N // 128
     offset = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(p.l))
     offset += 1 << (31 - p.l * p.Bgbit)
@@ -68,6 +77,7 @@ def _kernel(p: Params, n_steps, L, fat, ablate, abar_ref, acc0_ref, bk_hbm,
     dma(0, 0).start()
 
     def body(i, acc):
+        a0, a1 = acc                                   # [BG, N] u32 each
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < n_steps)
@@ -75,68 +85,81 @@ def _kernel(p: Params, n_steps, L, fat, ablate, abar_ref, acc0_ref, bk_hbm,
             dma(i + 1, 1 - slot).start()
 
         dma(i, slot).wait()
-        bk = bk_buf[slot]                              # [RR, N, 2*L*128] i8
+        bk = bk_buf[slot]                # [RR, N, 2L*128] or [RR*N, 2L*128]
 
         # rotate-first CMUX: diff = X^r * acc - acc (barrel, in VMEM)
         r = abar_ref[i, :]                             # [BG]
         if "rot" in ablate:
-            diff = acc + acc
+            d0, d1 = a0 + a0, a1 + a1
         else:
-            rot = cops.rot_poly(acc, r[:, None], N)
-            diff = rot - acc
+            d0 = cops.rot_poly(a0, r, N) - a0
+            d1 = cops.rot_poly(a1, r, N) - a1
+        x0 = d0 + u32(offset & 0xFFFFFFFF)
+        x1 = d1 + u32(offset & 0xFFFFFFFF)
 
         def mm(a, b):
             return jax.lax.dot_general(
                 a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=i32)
 
+        def digit(part, j, bb=None):
+            """Gadget digit j of TRLWE part `part` (lane block bb or all),
+            centered, i32."""
+            x = x0 if part == 0 else x1
+            if bb is not None:
+                x = x[:, 128 * bb:128 * (bb + 1)]
+            sh = 32 - (j + 1) * p.Bgbit
+            return ((x >> u32(sh)) & u32(p.Bg - 1)).astype(i32) - p.Bg // 2
+
         # gadget decomposition -> negacyclic digit extension, i8.
         # negate before the i8 cast: Mosaic has no packed-i8 subtraction
-        if "decompose" in ablate:
-            d = jnp.broadcast_to(
-                diff[:, :1, :].astype(i32) & 31, (BG, RR, N))
-            ext = jnp.concatenate([d, -d], axis=-1).astype(i8)
-        elif fat:
-            # lanes ordered (block, j, 128): negacyclic blocks 0..NB-1
-            # are +d, NB..2NB-1 are -d.  Every piece is an elementwise
-            # function of a 128-aligned lane slice of a 2D array, so all
-            # concat operands share tile offset {0,0} (Mosaic's
-            # tpu.concatenate rejects mixed sublane offsets, which
-            # slicing a [BG, RR, N] stack across RR would produce).
-            xparts = [diff[:, 0, :] + u32(offset & 0xFFFFFFFF),
-                      diff[:, 1, :] + u32(offset & 0xFFFFFFFF)]
-            pieces = []
-            for b in range(2 * NB):
-                neg = b >= NB
-                bb = b - NB if neg else b
-                for part in range(2):
-                    for j in range(p.l):
-                        sh = 32 - (j + 1) * p.Bgbit
-                        w = ((xparts[part][:, 128 * bb:128 * (bb + 1)]
-                              >> u32(sh)) & u32(p.Bg - 1)).astype(i32)
-                        pieces.append(p.Bg // 2 - w if neg
-                                      else w - p.Bg // 2)
-            ext = jnp.concatenate(pieces, axis=-1).astype(i8)
+        if fat:
+            # lanes ordered (block, j, 128).  With split dots only the +d
+            # half is materialized; otherwise blocks 0..NB-1 are +d and
+            # NB..2NB-1 are -d.  Every piece is an elementwise function
+            # of a 128-aligned lane slice of a 2D array, so all concat
+            # operands share tile offset {0,0}.
+            nblk = NB if split else 2 * NB
+            if "decompose" in ablate:
+                ext = jnp.broadcast_to(
+                    (x0[:, :1].astype(i32) & 31).astype(i8),
+                    (BG, nblk * RR * 128))
+            else:
+                pieces = []
+                for b in range(nblk):
+                    neg = b >= NB
+                    bb = b - NB if neg else b
+                    for part in range(2):
+                        for j in range(p.l):
+                            w = digit(part, j, bb)
+                            pieces.append(-w if neg else w)
+                ext = jnp.concatenate(pieces, axis=-1).astype(i8)
         else:
-            xp = diff + u32(offset & 0xFFFFFFFF)
-            rows = []
-            for part in range(2):
-                for j in range(p.l):
-                    sh = 32 - (j + 1) * p.Bgbit
-                    d_ = ((xp[:, part, :] >> u32(sh))
-                          & u32(p.Bg - 1)).astype(i32) - p.Bg // 2
-                    rows.append(d_)
-            d = jnp.stack(rows, axis=1)                # [BG, RR, N] i32
+            if "decompose" in ablate:
+                d = jnp.broadcast_to(
+                    (x0[:, None, :].astype(i32) & 31), (BG, RR, N))
+            else:
+                d = jnp.stack([digit(part, j)
+                               for part in range(2)
+                               for j in range(p.l)], axis=1)  # [BG,RR,N]
             ext = jnp.concatenate([d, -d], axis=-1).astype(i8)
 
         grp = RR * 128
-        wks = []
+        wka, wkb = [], []
         for K in range(NB):
             w0 = 128 * (K + 1)
             if "mm" in ablate:
-                s = jnp.broadcast_to(ext[:, :1].astype(i32)
-                                     if fat else ext[:, 0, :1].astype(i32),
+                s = jnp.broadcast_to(ext[..., :1].reshape(BG, 1).astype(i32),
                                      (BG, 2 * L * 128))
+            elif fat and split:
+                # negacyclic Toeplitz as two complementary-length dots on
+                # the +d lanes alone: rows of bk are (block, j, 128), so
+                # window K = blocks K+1.. against bk[0..] minus the
+                # wrapped blocks 0..K against bk's tail rows.
+                cut = grp * (K + 1)
+                s = -mm(ext[:, :cut], bk[RR * N - cut:])
+                if cut < RR * N:
+                    s = s + mm(ext[:, cut:], bk[:RR * N - cut])
             elif fat:
                 s = mm(ext[:, grp * (K + 1):grp * (K + 1) + RR * N], bk)
             else:
@@ -146,42 +169,45 @@ def _kernel(p: Params, n_steps, L, fat, ablate, abar_ref, acc0_ref, bk_hbm,
                     s = t if s is None else s + t
             # limb recombination, exact mod 2^32 (columns are
             # [u, limb, 128] with limb scales 256^(4-L) .. 256^3)
-            zu = []
-            for u in range(2):
+            for u, wk in ((0, wka), (1, wkb)):
                 z = jnp.zeros((BG, 128), u32)
                 for li in range(L):
                     c0 = (u * L + li) * 128
                     sh = 8 * (4 - L + li)
                     z = z + (s[:, c0:c0 + 128].astype(u32) << u32(sh))
-                zu.append(z)
-            wks.append(jnp.stack(zu, axis=1))          # [BG, 2, 128]
-        wfull = jnp.concatenate(wks, axis=-1)          # [BG, 2, N]
-        return acc + wfull
+                wk.append(z)
+        return (a0 + jnp.concatenate(wka, axis=-1),
+                a1 + jnp.concatenate(wkb, axis=-1))
 
-    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, acc0_ref[...])
+    outa, outb = jax.lax.fori_loop(
+        0, n_steps, body, (acca_ref[...], accb_ref[...]))
+    outa_ref[...] = outa
+    outb_ref[...] = outb
 
 
 @functools.lru_cache(maxsize=None)
 def _call(p: Params, G: int, BG: int, n_steps: int, L: int, fat: bool,
-          ablate: frozenset = frozenset()):
-    kernel = functools.partial(_kernel, p, n_steps, L, fat, ablate)
+          split: bool, ablate: frozenset = frozenset()):
+    kernel = functools.partial(_kernel, p, n_steps, L, fat, split, ablate)
     RR = 2 * p.l
     bk_scratch = ((2, RR * p.N, 2 * L * 128) if fat
                   else (2, RR, p.N, 2 * L * 128))
 
+    part_spec = pl.BlockSpec((BG, p.N), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(G // BG,),
         in_specs=[
             pl.BlockSpec((n_steps, BG), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
+            part_spec,
+            part_spec,
             pl.BlockSpec(memory_space=pl.ANY),         # bk stays in HBM
         ],
-        out_specs=pl.BlockSpec((BG, 2, p.N), lambda g: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, 2, p.N), u32),
+        out_specs=(part_spec, part_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, p.N), u32),
+                   jax.ShapeDtypeStruct((G, p.N), u32)),
         scratch_shapes=[
             pltpu.VMEM(bk_scratch, i8),
             pltpu.SemaphoreType.DMA((2,)),
@@ -219,10 +245,12 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     acc_b = cops.rot_poly(
         jnp.broadcast_to(testv, (Gp, p.N)), (-bbar) % (2 * p.N), p.N
     )
-    acc0 = jnp.stack([jnp.zeros((Gp, p.N), u32), acc_b], axis=1)
+    acc_a = jnp.zeros((Gp, p.N), u32)
 
     ablate = frozenset(
         x for x in os.environ.get("IYOKAN_TK_ABLATE", "").split(",") if x
     )
-    out = _call(p, Gp, BG, p.n, L, fat, ablate)(abar.T, acc0, bk_tk)
-    return out[:G]
+    split = fat and os.environ.get("IYOKAN_TK_DOTS", "split") == "split"
+    outa, outb = _call(p, Gp, BG, p.n, L, fat, split, ablate)(
+        abar.T, acc_a, acc_b, bk_tk)
+    return jnp.stack([outa, outb], axis=1)[:G]

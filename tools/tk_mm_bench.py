@@ -80,7 +80,39 @@ def main():
         _, acc = jax.lax.fori_loop(0, STEPS, body, (lhs0, acc0))
         o_ref[...] = acc
 
+    def kern_puret(x_ref, rhs_ref, o_ref):
+        """Like pure, but RHS stored transposed [768, 6144] and contracted
+        minor-minor (dims ((1,),(1,)))."""
+        def mmt(a, b):
+            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=i32)
+        def body(i, carry):
+            lhs, acc = carry
+            s = None
+            for K in range(8):
+                t = mmt(lhs[:, 768 * K : 768 * K + 6144], rhs_ref[...])
+                s = t if s is None else s + t
+            acc = acc + s
+            lhs = jnp.concatenate(
+                [acc[:, :128].astype(i8), lhs[:, 128:]], axis=-1)
+            return lhs, acc
+        lhs0 = x_ref[...]
+        acc0 = jnp.zeros((lhs0.shape[0], 768), i32)
+        _, acc = jax.lax.fori_loop(0, STEPS, body, (lhs0, acc0))
+        o_ref[...] = acc
+
     cases = []
+    if "puret" in sys.argv:
+        x = jnp.ones((BG, 12288), i8)
+        rhs = jnp.ones((768, 6144), i8)
+        call = pl.pallas_call(
+            kern_puret,
+            out_shape=jax.ShapeDtypeStruct((BG, 768), i32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+        )
+        cases.append(("puret 8x[BG,6144]x[768,6144]T", call, x, rhs,
+                      8 * BG * 6144 * 768))
     if "pure" in sys.argv:
         x = jnp.ones((BG, 12288), i8)
         rhs = jnp.ones((6144, 768), i8)
