@@ -12,7 +12,9 @@ vs_baseline is against 10_000 gates/s, the order of cuFHE's published V100
 gate-bootstrap throughput (the reference's GPU backend; BASELINE.md target is
 >= 10x that on TPU).
 
-Env knobs: BENCH_G (batch size), BENCH_REPS, BENCH_PARAMS, BENCH_IMPL.
+Env knobs: BENCH_G (batch size), BENCH_REPS, BENCH_PARAMS; the blind-rotate
+implementation follows the engine default (Toeplitz-slab matmul kernel on
+TPU; override with IYOKAN_BR_IMPL / IYOKAN_TK_LAYOUT).
 """
 
 import json
@@ -62,7 +64,7 @@ def main():
 
     t0 = time.time()
     out = nand_batch(keys, A, B, ca, cb, kk)
-    out.block_until_ready()
+    _ = np.asarray(out[0, 0])   # axon: block_until_ready does not wait
     print(f"# compile+first run {time.time()-t0:.1f}s", file=sys.stderr)
 
     # correctness check on the first batch
@@ -75,7 +77,7 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         out = nand_batch(keys, A, B, ca, cb, kk)
-    out.block_until_ready()
+    _ = np.asarray(out[0, 0])   # force real completion through the tunnel
     dt = (time.time() - t0) / reps
     rate = G / dt
     print(f"# {dt*1e3:.1f} ms / batch of {G}", file=sys.stderr)

@@ -488,6 +488,8 @@ def circuit_bootstrap(tlwe0: jnp.ndarray, bk2_prep: jnp.ndarray,
 # device-resident keys
 # --------------------------------------------------------------------------- #
 
+_DEVICE_KEY_CACHE: dict = {}
+
 
 @dataclasses.dataclass
 class DeviceKeys:
@@ -523,21 +525,53 @@ class DeviceKeys:
         if ek.bk2.shape[0] == 0:
             with_cb = False
 
-        if os.environ.get("IYOKAN_BR_IMPL") == "tkey":
+        # Device-key prep is expensive (the tkey expansion alone is a
+        # 2.9 GB host build + transfer at cggi128): cache on key-material
+        # fingerprint + prep-affecting config so repeated engine builds
+        # within one process (e.g. the integration registry) reuse it.
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(np.asarray(ek.bk[:2]).tobytes())
+        h.update(np.asarray(ek.ksk[:1]).tobytes())
+        if with_cb:
+            h.update(np.asarray(ek.bk2[:1]).tobytes())
+        if ek.bku is not None:
+            h.update(np.asarray(ek.bku[:1]).tobytes())
+        cache_key = (
+            p.name, bool(with_cb), be.name, h.hexdigest(),
+            tuple(os.environ.get(k) for k in (
+                "IYOKAN_BR_IMPL", "IYOKAN_TK_LAYOUT", "IYOKAN_TKEY_LIMBS",
+                "IYOKAN_NO_UNROLL", "IYOKAN_EP")),
+        )
+        hit = _DEVICE_KEY_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+
+        # Default blind-rotate implementation: the Toeplitz-slab matmul
+        # kernel on TPU (fastest measured path, PERF.md round 2: 6187
+        # gates/s vs 2061 for the XLA NTT pipeline), the XLA NTT pipeline
+        # on CPU (where Pallas only runs in interpret mode).
+        impl = os.environ.get("IYOKAN_BR_IMPL")
+        if impl is None and be.name == "mxu":
+            impl = "tkey"
+        if impl == "tkey":
             # Toeplitz-slab key (host expansion + one transfer): the
             # gate-bootstrap path runs the no-NTT ops/pallas_tk kernel.
             L = int(os.environ.get("IYOKAN_TKEY_LIMBS", "3"))
-            lay = os.environ.get("IYOKAN_TK_LAYOUT", "thin")
+            lay = os.environ.get("IYOKAN_TK_LAYOUT", "fat")
             bkntt = jnp.asarray(polymul.tkey_kernel_key(ek.bk, p, L, lay))
         else:
             bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
-        if os.environ.get("IYOKAN_EP") == "pallas" and be.name == "mxu":
+        if (os.environ.get("IYOKAN_EP") == "pallas" and be.name == "mxu"
+                and impl != "tkey"):
             from ..ops.pallas_ep import prep_kernel_key
 
             bkntt = jax.jit(lambda b: prep_kernel_key(b, p.N))(bkntt)
         bkuntt = None
-        if (ek.bku is not None and not os.environ.get("IYOKAN_NO_UNROLL")
-                and os.environ.get("IYOKAN_BR_IMPL") != "tkey"):
+        # the 2-bit-unrolled NTT key is kept alongside the tkey key: small
+        # (latency-bound) batches route to it via bk_for
+        if ek.bku is not None and not os.environ.get("IYOKAN_NO_UNROLL"):
             bku = ek.bku.reshape(ek.bku.shape[0], 3 * 2 * p.l, 2, p.N)
             bkuntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bku))
         ksk_mat = jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1))
@@ -559,8 +593,9 @@ class DeviceKeys:
                 jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
                 jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
             )
-        return DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats,
-                          bkuntt)
+        dk = DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats, bkuntt)
+        _DEVICE_KEY_CACHE[cache_key] = dk
+        return dk
 
 
 jax.tree_util.register_pytree_node(

@@ -230,7 +230,7 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     fat = bk_tk.ndim == 3
     L = bk_tk.shape[-1] // 256
     if block_g is None:
-        block_g = int(os.environ.get("IYOKAN_PALLAS_BG", "1024"))
+        block_g = int(os.environ.get("IYOKAN_PALLAS_BG", "512"))
     G = tlwe0.shape[0]
     BG = min(block_g, max(8, G))
     pad = (-G) % BG
