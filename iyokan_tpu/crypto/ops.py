@@ -542,7 +542,7 @@ class DeviceKeys:
             p.name, bool(with_cb), be.name, h.hexdigest(),
             tuple(os.environ.get(k) for k in (
                 "IYOKAN_BR_IMPL", "IYOKAN_TK_LAYOUT", "IYOKAN_TKEY_LIMBS",
-                "IYOKAN_NO_UNROLL", "IYOKAN_EP")),
+                "IYOKAN_NO_UNROLL", "IYOKAN_TK_UNROLL", "IYOKAN_EP")),
         )
         hit = _DEVICE_KEY_CACHE.get(cache_key)
         if hit is not None:
@@ -560,7 +560,17 @@ class DeviceKeys:
             # gate-bootstrap path runs the no-NTT ops/pallas_tk kernel.
             L = int(os.environ.get("IYOKAN_TKEY_LIMBS", "3"))
             lay = os.environ.get("IYOKAN_TK_LAYOUT", "fat")
-            bkntt = jnp.asarray(polymul.tkey_kernel_key(ek.bk, p, L, lay))
+            # 2-bit unrolled slabs (opt-in): half the sequential depth at
+            # 1.5x the matmul MACs -- a latency play for small batches,
+            # a measured throughput LOSS at large ones (232 vs 165 ms per
+            # 1024 gates, PERF.md round 2)
+            tku = (ek.bku is not None and lay == "fat"
+                   and os.environ.get("IYOKAN_TK_UNROLL", "0") != "0")
+            if tku:
+                src = ek.bku.reshape(ek.bku.shape[0], 6 * p.l, 2, p.N)
+            else:
+                src = ek.bk
+            bkntt = jnp.asarray(polymul.tkey_kernel_key(src, p, L, lay))
         else:
             bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
         if (os.environ.get("IYOKAN_EP") == "pallas" and be.name == "mxu"

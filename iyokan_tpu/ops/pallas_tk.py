@@ -59,14 +59,21 @@ i32 = jnp.int32
 i8 = jnp.int8
 
 
-def _kernel(p: Params, n_steps, L, fat, split, ablate, abar_ref, acca_ref,
-            accb_ref, bk_hbm, outa_ref, outb_ref, bk_buf, sems):
+def _kernel(p: Params, n_steps, L, fat, split, unroll, ablate, abar_ref,
+            acca_ref, accb_ref, bk_hbm, outa_ref, outb_ref, bk_buf, sems):
     N = p.N
     BG = acca_ref.shape[0]
     NB = N // 128
     offset = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(p.l))
     offset += 1 << (31 - p.l * p.Bgbit)
-    RR = 2 * p.l
+    # 2-bit unrolled key: one step consumes a key-bit *pair* via three fused
+    # external products (X^(a1 s1 + a2 s2) = 1 + s1(1-s2)(X^a1 - 1)
+    # + s2(1-s1)(X^a2 - 1) + s1 s2 (X^(a1+a2) - 1)): 3/4 the matmul MACs of
+    # two plain steps at half the sequential depth.  Contraction rows per
+    # step become (block, m, part, j, 128), matching the bku row order
+    # (crypto/host.genevalkey) fed through polymul.tkey_kernel_key.
+    M = 3 if unroll else 1
+    RR = M * 2 * p.l
 
     from ..crypto import ops as cops
 
@@ -78,34 +85,45 @@ def _kernel(p: Params, n_steps, L, fat, split, ablate, abar_ref, acca_ref,
 
     def body(i, acc):
         a0, a1 = acc                                   # [BG, N] u32 each
-        slot = jax.lax.rem(i, 2)
+        if "dma" in ablate:
+            # reuse the step-0 rows every step: exposes the DMA wait cost
+            @pl.when(i == 0)
+            def _():
+                dma(0, 0).wait()
 
-        @pl.when(i + 1 < n_steps)
-        def _():
-            dma(i + 1, 1 - slot).start()
-
-        dma(i, slot).wait()
-        bk = bk_buf[slot]                # [RR, N, 2L*128] or [RR*N, 2L*128]
-
-        # rotate-first CMUX: diff = X^r * acc - acc (barrel, in VMEM)
-        r = abar_ref[i, :]                             # [BG]
-        if "rot" in ablate:
-            d0, d1 = a0 + a0, a1 + a1
+            bk = bk_buf[0]
         else:
-            d0 = cops.rot_poly(a0, r, N) - a0
-            d1 = cops.rot_poly(a1, r, N) - a1
-        x0 = d0 + u32(offset & 0xFFFFFFFF)
-        x1 = d1 + u32(offset & 0xFFFFFFFF)
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_steps)
+            def _():
+                dma(i + 1, 1 - slot).start()
+
+            dma(i, slot).wait()
+            bk = bk_buf[slot]            # [RR, N, 2L*128] or [RR*N, 2L*128]
+
+        # rotate-first CMUX: diff = X^r * acc - acc (barrel, in VMEM),
+        # one (r1, r2, r1+r2) triple per step when unrolled
+        xs = []
+        for m in range(M):
+            r = abar_ref[M * i + m, :]                 # [BG]
+            if "rot" in ablate:
+                d0, d1 = a0 + a0, a1 + a1
+            else:
+                d0 = cops.rot_poly(a0, r, N) - a0
+                d1 = cops.rot_poly(a1, r, N) - a1
+            xs.append((d0 + u32(offset & 0xFFFFFFFF),
+                       d1 + u32(offset & 0xFFFFFFFF)))
 
         def mm(a, b):
             return jax.lax.dot_general(
                 a, b, (((1,), (0,)), ((), ())),
                 preferred_element_type=i32)
 
-        def digit(part, j, bb=None):
-            """Gadget digit j of TRLWE part `part` (lane block bb or all),
-            centered, i32."""
-            x = x0 if part == 0 else x1
+        def digit(m, part, j, bb=None):
+            """Gadget digit j of TRLWE part `part` of rotation m (lane
+            block bb or all), centered, i32."""
+            x = xs[m][part]
             if bb is not None:
                 x = x[:, 128 * bb:128 * (bb + 1)]
             sh = 32 - (j + 1) * p.Bgbit
@@ -114,32 +132,34 @@ def _kernel(p: Params, n_steps, L, fat, split, ablate, abar_ref, acca_ref,
         # gadget decomposition -> negacyclic digit extension, i8.
         # negate before the i8 cast: Mosaic has no packed-i8 subtraction
         if fat:
-            # lanes ordered (block, j, 128).  With split dots only the +d
-            # half is materialized; otherwise blocks 0..NB-1 are +d and
-            # NB..2NB-1 are -d.  Every piece is an elementwise function
+            # lanes ordered (block, m, part, j, 128).  With split dots only
+            # the +d half is materialized; otherwise blocks 0..NB-1 are +d
+            # and NB..2NB-1 are -d.  Every piece is an elementwise function
             # of a 128-aligned lane slice of a 2D array, so all concat
             # operands share tile offset {0,0}.
             nblk = NB if split else 2 * NB
             if "decompose" in ablate:
                 ext = jnp.broadcast_to(
-                    (x0[:, :1].astype(i32) & 31).astype(i8),
+                    (xs[0][0][:, :1].astype(i32) & 31).astype(i8),
                     (BG, nblk * RR * 128))
             else:
                 pieces = []
                 for b in range(nblk):
                     neg = b >= NB
                     bb = b - NB if neg else b
-                    for part in range(2):
-                        for j in range(p.l):
-                            w = digit(part, j, bb)
-                            pieces.append(-w if neg else w)
+                    for m in range(M):
+                        for part in range(2):
+                            for j in range(p.l):
+                                w = digit(m, part, j, bb)
+                                pieces.append(-w if neg else w)
                 ext = jnp.concatenate(pieces, axis=-1).astype(i8)
         else:
             if "decompose" in ablate:
                 d = jnp.broadcast_to(
-                    (x0[:, None, :].astype(i32) & 31), (BG, RR, N))
+                    (xs[0][0][:, None, :].astype(i32) & 31), (BG, RR, N))
             else:
-                d = jnp.stack([digit(part, j)
+                d = jnp.stack([digit(m, part, j)
+                               for m in range(M)
                                for part in range(2)
                                for j in range(p.l)], axis=1)  # [BG,RR,N]
             ext = jnp.concatenate([d, -d], axis=-1).astype(i8)
@@ -187,9 +207,12 @@ def _kernel(p: Params, n_steps, L, fat, split, ablate, abar_ref, acca_ref,
 
 @functools.lru_cache(maxsize=None)
 def _call(p: Params, G: int, BG: int, n_steps: int, L: int, fat: bool,
-          split: bool, ablate: frozenset = frozenset()):
-    kernel = functools.partial(_kernel, p, n_steps, L, fat, split, ablate)
-    RR = 2 * p.l
+          split: bool, unroll: bool = False,
+          ablate: frozenset = frozenset()):
+    kernel = functools.partial(_kernel, p, n_steps, L, fat, split, unroll,
+                               ablate)
+    M = 3 if unroll else 1
+    RR = M * 2 * p.l
     bk_scratch = ((2, RR * p.N, 2 * L * 128) if fat
                   else (2, RR, p.N, 2 * L * 128))
 
@@ -199,7 +222,7 @@ def _call(p: Params, G: int, BG: int, n_steps: int, L: int, fat: bool,
         kernel,
         grid=(G // BG,),
         in_specs=[
-            pl.BlockSpec((n_steps, BG), lambda g: (0, g),
+            pl.BlockSpec((M * n_steps, BG), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
             part_spec,
             part_spec,
@@ -223,11 +246,13 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
                       testv: jnp.ndarray, p: Params,
                       block_g: int = None) -> jnp.ndarray:
     """Drop-in for ops.blind_rotate given a tkey-layout key: int8
-    [n, 2l, N, 2*L*128] (thin) or [n, 2l*N, 2*L*128] (fat), from
+    [n, 2l, N, 2*L*128] (thin), [n, 2l*N, 2*L*128] (fat), or the 2-bit
+    unrolled fat key [ceil(n/2), 3*2l*N, 2*L*128], all from
     crypto/polymul.tkey_kernel_key."""
     from ..crypto import ops as cops
 
     fat = bk_tk.ndim == 3
+    unroll = fat and bk_tk.shape[1] == 6 * p.l * p.N
     L = bk_tk.shape[-1] // 256
     if block_g is None:
         block_g = int(os.environ.get("IYOKAN_PALLAS_BG", "512"))
@@ -247,10 +272,25 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     )
     acc_a = jnp.zeros((Gp, p.N), u32)
 
+    n_steps = bk_tk.shape[0]
+    if unroll:
+        # rotation rows per pair step: (a1, a2, a1+a2), zero-padded odd n
+        apad = (-p.n) % (2 * n_steps)
+        if apad:
+            abar = jnp.concatenate(
+                [abar, jnp.zeros((Gp, apad), abar.dtype)], axis=1
+            )
+        a1 = abar[:, 0::2].T                            # [nh, Gp]
+        a2 = abar[:, 1::2].T
+        a12 = (a1 + a2) & (2 * p.N - 1)
+        rows = jnp.stack([a1, a2, a12], axis=1).reshape(3 * n_steps, Gp)
+    else:
+        rows = abar.T
+
     ablate = frozenset(
         x for x in os.environ.get("IYOKAN_TK_ABLATE", "").split(",") if x
     )
     split = fat and os.environ.get("IYOKAN_TK_DOTS", "split") == "split"
-    outa, outb = _call(p, Gp, BG, p.n, L, fat, split, ablate)(
-        abar.T, acc_a, acc_b, bk_tk)
+    outa, outb = _call(p, Gp, BG, n_steps, L, fat, split, unroll,
+                       ablate)(rows, acc_a, acc_b, bk_tk)
     return jnp.stack([outa, outb], axis=1)[:G]

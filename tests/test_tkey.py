@@ -96,6 +96,26 @@ def test_tkey_blind_rotate_fat_layout(toy, toy_ek, toy_dk, toy_sk, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_tkey_unrolled_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
+                                                   toy_sk, rng):
+    """2-bit unrolled slab key == the XLA unrolled (bku) path, bit-exact
+    at 4 limbs: same pair-step algebra, matmul form."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    assert toy_dk.bkuntt is not None
+    bits = rng.integers(0, 2, 8, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+
+    bku = toy_ek.bku.reshape(toy_ek.bku.shape[0], 6 * p.l, 2, p.N)
+    bk_tk = jnp.asarray(pm.tkey_kernel_key(bku, p, limbs=4, layout="fat"))
+    got = np.asarray(blind_rotate_tkey(ct, bk_tk, testv, p, block_g=8))
+    want = np.asarray(ops.blind_rotate(ct, toy_dk.bkuntt, testv, p,
+                                       toy_dk.backend))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_tkey_gate_bootstrap_truth_tables(toy, toy_sk, toy_dk, toy_ek, rng):
     """3-limb default: NAND/XOR truth tables through the tkey kernel."""
     from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
