@@ -1018,14 +1018,26 @@ def tkey_kernel_key(bk_u32: np.ndarray, p: Params, limbs: int = 3,
     layout="fat":  int8 [n, 2l*N, 2*limbs*128] with contraction rows
     ordered (t//128, j, t%128), matching the 128-lane-interleaved digit
     extension -- j folds into the contraction, one dot per K.
-    Columns are (u, limb, 128) in both."""
-    slab = tkey_prep1(bk_u32, p, limbs)        # [n, RR, 2, L, N, 128]
-    k = np.transpose(slab, (0, 1, 4, 2, 3, 5))
-    k = np.ascontiguousarray(
-        k.reshape(k.shape[:3] + (2 * limbs * 128,))
-    )                                          # [n, RR, N, 2L*128]
-    if layout == "thin":
-        return k
-    n, RR, N, C = k.shape
-    kf = k.reshape(n, RR, N // 128, 128, C).transpose(0, 2, 1, 3, 4)
-    return np.ascontiguousarray(kf.reshape(n, RR * N, C))
+    layout="fat2": int8 [n, 2*(2l*N), C] = the fat slab of the NEGATED key
+    rows followed by the fat slab of the key: output block K is then ONE
+    contiguous-window dot ext . bk[2lN - cut : 2*2lN - cut] (the negacyclic
+    wraparound sign is baked into the first copy), instead of two
+    complementary dots and a subtraction.  The negation happens BEFORE the
+    balanced-limb decomposition (a limb of -128 has no int8 negative).
+    Columns are (u, limb, 128) in all layouts."""
+    def fat(src):
+        slab = tkey_prep1(src, p, limbs)       # [n, RR, 2, L, N, 128]
+        k = np.transpose(slab, (0, 1, 4, 2, 3, 5))
+        k = np.ascontiguousarray(
+            k.reshape(k.shape[:3] + (2 * limbs * 128,))
+        )                                      # [n, RR, N, 2L*128]
+        if layout == "thin":
+            return k
+        n, RR, N, C = k.shape
+        kf = k.reshape(n, RR, N // 128, 128, C).transpose(0, 2, 1, 3, 4)
+        return np.ascontiguousarray(kf.reshape(n, RR * N, C))
+
+    if layout != "fat2":
+        return fat(bk_u32)
+    neg = ((0 - bk_u32.astype(np.int64)) & 0xFFFFFFFF).astype(np.uint32)
+    return np.concatenate([fat(neg), fat(bk_u32)], axis=1)

@@ -59,8 +59,9 @@ i32 = jnp.int32
 i8 = jnp.int8
 
 
-def _kernel(p: Params, n_steps, L, fat, split, unroll, ablate, abar_ref,
-            acca_ref, accb_ref, bk_hbm, outa_ref, outb_ref, bk_buf, sems):
+def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
+            abar_ref, acca_ref, accb_ref, bk_hbm, outa_ref, outb_ref,
+            bk_buf, sems):
     N = p.N
     BG = acca_ref.shape[0]
     NB = N // 128
@@ -171,6 +172,11 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, ablate, abar_ref,
             if "mm" in ablate:
                 s = jnp.broadcast_to(ext[..., :1].reshape(BG, 1).astype(i32),
                                      (BG, 2 * L * 128))
+            elif fat and split and fat2:
+                # doubled slab (negated copy first): the wraparound sign
+                # is baked in, so block K is ONE contiguous-window dot
+                cut = grp * (K + 1)
+                s = mm(ext, bk[RR * N - cut:2 * RR * N - cut])
             elif fat and split:
                 # negacyclic Toeplitz as two complementary-length dots on
                 # the +d lanes alone: rows of bk are (block, j, 128), so
@@ -205,15 +211,162 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, ablate, abar_ref,
     outb_ref[...] = outb
 
 
+def _kernel_pipe(p: Params, n_steps, L, fat2, abar_ref, acca_ref,
+                 accb_ref, bk_hbm, outa_ref, outb_ref, bk_buf, sems):
+    """Software-pipelined fat+split kernel: TWO independent gate chains
+    (rows [0:BG] and [BG:2BG]) interleaved so one chain's VPU work
+    (rotation, decomposition, recombination) overlaps the other chain's
+    matmuls on the MXU.  Ablations of the serial kernel show its per-step
+    stages strictly serialize (dots-only 84 ms + vpu-only 31 ms vs
+    165 ms full, PERF.md round 2); the two-chain interleave recovers the
+    overlap that the single chain's rot -> ext -> dots -> acc data
+    dependency forbids.  Same math as _kernel (fat layout, split dots),
+    so bit-identical results per chain."""
+    N = p.N
+    BG = acca_ref.shape[0] // 2
+    NB = N // 128
+    RR = 2 * p.l
+    offset = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(p.l))
+    offset += 1 << (31 - p.l * p.Bgbit)
+    off = u32(offset & 0xFFFFFFFF)
+    grp = RR * 128
+
+    from ..crypto import ops as cops
+
+    def dma(i, slot):
+        return pltpu.make_async_copy(bk_hbm.at[i], bk_buf.at[slot],
+                                     sems.at[slot])
+
+    dma(0, 0).start()
+
+    def ext_of(pa, pb, r):
+        """Rotate-diff + gadget decomposition -> interleaved +d digit
+        extension [BG, RR*N] i8 (lanes ordered (block, part, j, 128))."""
+        xs = (cops.rot_poly(pa, r, N) - pa + off,
+              cops.rot_poly(pb, r, N) - pb + off)
+        pieces = []
+        for b in range(NB):
+            for part in range(2):
+                xp = xs[part][:, 128 * b:128 * (b + 1)]
+                for j in range(p.l):
+                    sh = 32 - (j + 1) * p.Bgbit
+                    pieces.append(
+                        ((xp >> u32(sh)) & u32(p.Bg - 1)).astype(i32)
+                        - p.Bg // 2)
+        return jnp.concatenate(pieces, axis=-1).astype(i8)
+
+    def mm(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=i32)
+
+    def dots_raw(ext, bk):
+        """The per-step split matmuls (MXU): raw i32 blocks, one per K."""
+        ss = []
+        for K in range(NB):
+            cut = grp * (K + 1)
+            if fat2:
+                s = mm(ext, bk[RR * N - cut:2 * RR * N - cut])
+            else:
+                s = -mm(ext[:, :cut], bk[RR * N - cut:])
+                if cut < RR * N:
+                    s = s + mm(ext[:, cut:], bk[:RR * N - cut])
+            ss.append(s)
+        return ss
+
+    def recomb(ss):
+        """Limb recombination (VPU): consumes the dot results."""
+        wka, wkb = [], []
+        for s in ss:
+            for u, wk in ((0, wka), (1, wkb)):
+                z = jnp.zeros((s.shape[0], 128), u32)
+                for li in range(L):
+                    c0 = (u * L + li) * 128
+                    sh = 8 * (4 - L + li)
+                    z = z + (s[:, c0:c0 + 128].astype(u32) << u32(sh))
+                wk.append(z)
+        return jnp.concatenate(wka, axis=-1), jnp.concatenate(wkb, axis=-1)
+
+    def body(i, carry):
+        """Modulo-scheduled (II = 1): every VPU stage is issued while an
+        MXU dot group with no data dependency on it is in flight, so in
+        steady state no VPU op waits on the MXU and vice versa.
+
+          issue dots A(i)   | recomb B(i-1), ext B(i)     <- VPU under A
+          issue dots B(i)   | recomb A(i),   ext A(i+1)   <- VPU under B
+
+        Chain B's dot results cross the iteration boundary in the carry."""
+        aA, bA, aB, bB, extA, ssB = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n_steps)
+        def _():
+            dma(i + 1, 1 - slot).start()
+
+        dma(i, slot).wait()
+        bk = bk_buf[slot]
+        ssA = dots_raw(extA, bk)                      # MXU: chain A step i
+        ua, ub = recomb(ssB)                          # VPU: B step i-1
+        aB, bB = aB + ua, bB + ub
+        extB = ext_of(aB, bB, abar_ref[i, BG:])
+        ssB = dots_raw(extB, bk)                      # MXU: chain B step i
+        ua, ub = recomb(ssA)                          # VPU: A step i
+        aA, bA = aA + ua, bA + ub
+        # row n_steps of abar is a zero pad: the final iteration's
+        # lookahead stays in bounds (its ext is computed and discarded)
+        extA2 = ext_of(aA, bA, abar_ref[i + 1, :BG])
+        return aA, bA, aB, bB, extA2, ssB
+
+    extA0 = ext_of(acca_ref[:BG], accb_ref[:BG], abar_ref[0, :BG])
+    ss0 = [jnp.zeros((BG, 2 * L * 128), i32) for _ in range(NB)]
+    aA, bA, aB, bB, _, ssB = jax.lax.fori_loop(
+        0, n_steps, body,
+        (acca_ref[:BG], accb_ref[:BG], acca_ref[BG:], accb_ref[BG:],
+         extA0, ss0))
+    ua, ub = recomb(ssB)                              # epilogue: last B
+    outa_ref[...] = jnp.concatenate([aA, aB + ua], axis=0)
+    outb_ref[...] = jnp.concatenate([bA, bB + ub], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
+               fat2: bool = False):
+    kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2)
+    part_spec = pl.BlockSpec((2 * BG, p.N), lambda g: (g, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(G // (2 * BG),),
+        in_specs=[
+            pl.BlockSpec((n_steps + 1, 2 * BG), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            part_spec,
+            part_spec,
+            pl.BlockSpec(memory_space=pl.ANY),         # bk stays in HBM
+        ],
+        out_specs=(part_spec, part_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, p.N), u32),
+                   jax.ShapeDtypeStruct((G, p.N), u32)),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, (2 if fat2 else 1) * 2 * p.l * p.N, 2 * L * 128), i8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=bool(os.environ.get("IYOKAN_PALLAS_INTERPRET")),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _call(p: Params, G: int, BG: int, n_steps: int, L: int, fat: bool,
-          split: bool, unroll: bool = False,
+          split: bool, unroll: bool = False, fat2: bool = False,
           ablate: frozenset = frozenset()):
     kernel = functools.partial(_kernel, p, n_steps, L, fat, split, unroll,
-                               ablate)
+                               fat2, ablate)
     M = 3 if unroll else 1
     RR = M * 2 * p.l
-    bk_scratch = ((2, RR * p.N, 2 * L * 128) if fat
+    bk_scratch = ((2, (2 if fat2 else 1) * RR * p.N, 2 * L * 128) if fat
                   else (2, RR, p.N, 2 * L * 128))
 
     part_spec = pl.BlockSpec((BG, p.N), lambda g: (g, 0),
@@ -253,6 +406,7 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
 
     fat = bk_tk.ndim == 3
     unroll = fat and bk_tk.shape[1] == 6 * p.l * p.N
+    fat2 = fat and bk_tk.shape[1] == 4 * p.l * p.N
     L = bk_tk.shape[-1] // 256
     if block_g is None:
         block_g = int(os.environ.get("IYOKAN_PALLAS_BG", "512"))
@@ -291,6 +445,16 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
         x for x in os.environ.get("IYOKAN_TK_ABLATE", "").split(",") if x
     )
     split = fat and os.environ.get("IYOKAN_TK_DOTS", "split") == "split"
+    # two-chain software-pipelined kernel for batches of >= 2 blocks
+    # (VPU work of one chain hides under the other chain's matmuls)
+    if (fat and split and not unroll and not ablate
+            and os.environ.get("IYOKAN_TK_PIPE", "1") != "0"
+            and Gp % (2 * BG) == 0):
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((1, Gp), rows.dtype)], axis=0)
+        outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2)(
+            rows, acc_a, acc_b, bk_tk)
+        return jnp.stack([outa, outb], axis=1)[:G]
     outa, outb = _call(p, Gp, BG, n_steps, L, fat, split, unroll,
-                       ablate)(rows, acc_a, acc_b, bk_tk)
+                       fat2, ablate)(rows, acc_a, acc_b, bk_tk)
     return jnp.stack([outa, outb], axis=1)[:G]

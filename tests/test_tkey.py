@@ -96,6 +96,48 @@ def test_tkey_blind_rotate_fat_layout(toy, toy_ek, toy_dk, toy_sk, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_tkey_pipelined_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
+                                                    toy_sk, rng):
+    """Two-chain software-pipelined kernel == XLA path, bit-exact at
+    4 limbs (same math, interleaved schedule)."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    bits = rng.integers(0, 2, 16, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+
+    bk_fat = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
+                                            layout="fat"))
+    # G = 16 with block_g = 8 -> the pipelined two-chain path
+    got = np.asarray(blind_rotate_tkey(ct, bk_fat, testv, p, block_g=8))
+    want = np.asarray(ops.blind_rotate(ct, toy_dk.bkntt, testv, p,
+                                       toy_dk.backend))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tkey_fat2_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
+                                               toy_sk, rng):
+    """Doubled-slab (fat2) layout == XLA path on both the serial (G=8)
+    and pipelined (G=16) kernels, bit-exact at 4 limbs."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    bits = rng.integers(0, 2, 16, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+
+    bk2x = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
+                                          layout="fat2"))
+    want = np.asarray(ops.blind_rotate(ct, toy_dk.bkntt, testv, p,
+                                       toy_dk.backend))
+    got_pipe = np.asarray(blind_rotate_tkey(ct, bk2x, testv, p, block_g=8))
+    np.testing.assert_array_equal(got_pipe, want)
+    got_serial = np.asarray(
+        blind_rotate_tkey(ct[:8], bk2x, testv, p, block_g=8))
+    np.testing.assert_array_equal(got_serial, want[:8])
+
+
 def test_tkey_unrolled_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
                                                    toy_sk, rng):
     """2-bit unrolled slab key == the XLA unrolled (bku) path, bit-exact
