@@ -441,21 +441,25 @@ class TFHEEngine:
             self._mem_fns[key] = fn
         return self._mem_fns[key]
 
-    def settle(self, vals, rams, roms, timer=None, progress=None):
+    def settle(self, vals, rams, roms, timer=None, progress=None,
+               stages=None):
         """Host-driven sweep: one jitted call per level (bucketed shapes)
         plus per-instance memory calls.
 
         timer: optional list collecting per-level wall-clock seconds (forces
         a device sync per level, opt-in like the reference's
         ProgressGraphMaker).  progress: optional callable(n_gates_done).
+        stages: optional dict accumulating wall-clock seconds per stage
+        category (gates / simple / rom_read / ram_read / ram_write) -- the
+        per-cycle breakdown tools/run_diamond_tfhe.py reports.
         """
         import os
         import time
 
         profile = bool(os.environ.get("IYOKAN_PROFILE"))
-        sync = profile or timer is not None
+        sync = profile or timer is not None or stages is not None
 
-        def mark(tag):
+        def mark(tag, cat=None):
             if sync:
                 jax.block_until_ready(vals)
                 _ = np.asarray(vals[0, 0])  # force through the transfer sync
@@ -464,6 +468,8 @@ class TFHEEngine:
                 mark.t0 = now
                 if profile and dt > 0.005:
                     print(f"    [profile] {tag}: {dt*1e3:.0f} ms", flush=True)
+                if stages is not None and cat is not None:
+                    stages[cat] = stages.get(cat, 0.0) + dt
                 return dt
             return 0.0
 
@@ -506,19 +512,19 @@ class TFHEEngine:
                     pp["bin_out"], pp["mux_a"], pp["mux_b"], pp["mux_s"],
                     pp["mux_out"],
                 )
-                lv_t += mark(f"level {lv+1} gates ({pp['nb']}+{pp['nm']}mux)")
+                lv_t += mark(f"level {lv+1} gates ({pp['nb']}+{pp['nm']}mux)", "gates")
             if len(pp["not_out"]) or len(pp["copy_out"]):
                 vals = self._simple(vals, pp)
-                lv_t += mark(f"level {lv+1} simple")
+                lv_t += mark(f"level {lv+1} simple", "simple")
             for name in plan.rom_reads:
                 vals = self._mem_fn("rom", name)(keys, vals, roms[name])
-                lv_t += mark(f"level {lv+1} rom {name}")
+                lv_t += mark(f"level {lv+1} rom {name}", "rom_read")
             for name in plan.ram_reads:
                 vals, gn = self._mem_fn("ram_read", name)(
                     keys, vals, rams[name]
                 )
                 ram_sel[name] = gn
-                lv_t += mark(f"level {lv+1} ram-read {name}")
+                lv_t += mark(f"level {lv+1} ram-read {name}", "ram_read")
             if timer is not None:
                 timer.append(lv_t)
             if progress is not None:
@@ -531,7 +537,7 @@ class TFHEEngine:
             )
             if sync:
                 jax.block_until_ready(new_rams[name])
-            mark(f"ram-write {name}")
+            mark(f"ram-write {name}", "ram_write")
         return vals, new_rams
 
     def _simple(self, vals, pp):

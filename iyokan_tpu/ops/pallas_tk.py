@@ -211,7 +211,7 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
     outb_ref[...] = outb
 
 
-def _kernel_pipe(p: Params, n_steps, L, fat2, abar_ref, acca_ref,
+def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, abar_ref, acca_ref,
                  accb_ref, bk_hbm, outa_ref, outb_ref, bk_buf, sems):
     """Software-pipelined fat+split kernel: TWO independent gate chains
     (rows [0:BG] and [BG:2BG]) interleaved so one chain's VPU work
@@ -242,8 +242,15 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, abar_ref, acca_ref,
     def ext_of(pa, pb, r):
         """Rotate-diff + gadget decomposition -> interleaved +d digit
         extension [BG, RR*N] i8 (lanes ordered (block, part, j, 128))."""
-        xs = (cops.rot_poly(pa, r, N) - pa + off,
-              cops.rot_poly(pb, r, N) - pb + off)
+        if "rot" in ablate:
+            xs = (pa + pa + off, pb + pb + off)
+        else:
+            xs = (cops.rot_poly(pa, r, N) - pa + off,
+                  cops.rot_poly(pb, r, N) - pb + off)
+        if "decompose" in ablate:
+            return jnp.broadcast_to(
+                (xs[0][:, :1].astype(i32) & 31).astype(i8),
+                (xs[0].shape[0], RR * N))
         pieces = []
         for b in range(NB):
             for part in range(2):
@@ -261,6 +268,10 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, abar_ref, acca_ref,
 
     def dots_raw(ext, bk):
         """The per-step split matmuls (MXU): raw i32 blocks, one per K."""
+        if "mm" in ablate:
+            return [jnp.broadcast_to(ext[:, :1].astype(i32),
+                                     (ext.shape[0], 2 * L * 128))
+                    for _ in range(NB)]
         ss = []
         for K in range(NB):
             cut = grp * (K + 1)
@@ -275,6 +286,10 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, abar_ref, acca_ref,
 
     def recomb(ss):
         """Limb recombination (VPU): consumes the dot results."""
+        if "recomb" in ablate:
+            z = jnp.broadcast_to(ss[0][:, :1].astype(u32),
+                                 (ss[0].shape[0], N))
+            return z, z
         wka, wkb = [], []
         for s in ss:
             for u, wk in ((0, wka), (1, wkb)):
@@ -329,8 +344,8 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, abar_ref, acca_ref,
 
 @functools.lru_cache(maxsize=None)
 def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
-               fat2: bool = False):
-    kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2)
+               fat2: bool = False, ablate: frozenset = frozenset()):
+    kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2, ablate)
     part_spec = pl.BlockSpec((2 * BG, p.N), lambda g: (g, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -446,13 +461,16 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     )
     split = fat and os.environ.get("IYOKAN_TK_DOTS", "split") == "split"
     # two-chain software-pipelined kernel for batches of >= 2 blocks
-    # (VPU work of one chain hides under the other chain's matmuls)
-    if (fat and split and not unroll and not ablate
-            and os.environ.get("IYOKAN_TK_PIPE", "1") != "0"
+    # (VPU work of one chain hides under the other chain's matmuls).
+    # Ablations run on the serial kernel unless IYOKAN_TK_PIPE=force.
+    pipe_env = os.environ.get("IYOKAN_TK_PIPE", "1")
+    if (fat and split and not unroll
+            and (not ablate or pipe_env == "force")
+            and pipe_env != "0"
             and Gp % (2 * BG) == 0):
         rows = jnp.concatenate(
             [rows, jnp.zeros((1, Gp), rows.dtype)], axis=0)
-        outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2)(
+        outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate)(
             rows, acc_a, acc_b, bk_tk)
         return jnp.stack([outa, outb], axis=1)[:G]
     outa, outb = _call(p, Gp, BG, n_steps, L, fat, split, unroll,

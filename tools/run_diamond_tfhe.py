@@ -56,8 +56,28 @@ def main():
     t0 = time.time()
     fe.go(CYCLES)
     total = time.time() - t0
+    nboots = sum(p.n_bootstraps for p in fe.compiled.levels)
     print(f"{CYCLES} encrypted cycles in {total:.1f}s "
-          f"({total/CYCLES:.1f}s/cycle)", flush=True)
+          f"({total/CYCLES:.2f}s/cycle, {nboots} bootstraps/cycle -> "
+          f"{nboots*CYCLES/total:.0f} effective bootstraps/s)", flush=True)
+
+    if os.environ.get("DIAMOND_STAGES", "1") != "0":
+        # one extra (discarded) settle with per-stage sync timers: where a
+        # cycle's wall clock goes.  The synced sweep disables level fusion,
+        # so its total exceeds the fused steady-state cycle time above.
+        stages = {}
+        t0 = time.time()
+        fe.engine.settle(fe.vals, fe.rams, fe.roms, stages=stages)
+        stot = time.time() - t0
+        print(f"per-stage breakdown (one synced, unfused cycle, "
+              f"{stot:.2f}s):", flush=True)
+        for cat in ("gates", "simple", "rom_read", "ram_read", "ram_write"):
+            if cat in stages:
+                print(f"  {cat:>10}: {stages[cat]:6.2f}s "
+                      f"({100*stages[cat]/stot:4.1f}%)", flush=True)
+        over = stot - sum(stages.values())
+        print(f"  {'dispatch':>10}: {over:6.2f}s ({100*over/stot:4.1f}%)",
+              flush=True)
 
     res = fe.make_result_packet().decrypt(sk)
     want = packet_mod.PlainPacket.from_toml_file(fixture(GOLDEN))

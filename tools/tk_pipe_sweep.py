@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""One-process sweep over tkey-kernel configs (pipe ablations, BG/G scaling).
+
+Each config re-reads the IYOKAN_TK_* env knobs at trace time, so a single
+process (one axon warmup) measures many variants.  Reports ms per batch and
+gates/s for the full bootstrap path (linear combine is excluded; modswitch +
+blind rotate + extract included, key switch excluded to isolate the kernel).
+
+Usage: python tools/tk_pipe_sweep.py [reps]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iyokan_tpu import params as params_mod
+    from iyokan_tpu.crypto import host, ops
+
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    p = params_mod.by_name("cggi128")
+
+    t0 = time.time()
+    sk = host.keygen(p, seed=0)
+    ek = host.genevalkey(sk, seed=1, with_cb=False)
+    keys = ops.DeviceKeys.from_evalkey(ek, with_cb=False)
+    print(f"# keygen {time.time()-t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(2)
+
+    def run(tag, G, env):
+        saved = {}
+        for k, v in env.items():
+            saved[k] = os.environ.get(k)
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+        try:
+            bits = rng.integers(0, 2, G, dtype=np.uint8)
+            tl = jnp.asarray(host.encrypt_bits(sk, bits, rng))
+
+            @jax.jit
+            def f(keys, tl):
+                return ops.gate_bootstrap_tlwe1(tl, keys.bk_for(G), p,
+                                                keys.backend)
+
+            t0 = time.time()
+            out = f(keys, tl)
+            _ = np.asarray(out[0, 0])
+            comp = time.time() - t0
+            t0 = time.time()
+            for _ in range(reps):
+                out = f(keys, tl)
+            _ = np.asarray(out[0, 0])
+            dt = (time.time() - t0) / reps
+            print(f"{tag:44s} G={G:5d}  {dt*1e3:7.1f} ms  "
+                  f"{G/dt:7.0f} gates/s   (compile {comp:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"{tag:44s} G={G:5d}  FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    run("pipe default", 1024, {})
+    run("pipe mm-ablated (exposed VPU+ovh)", 1024,
+        {"IYOKAN_TK_ABLATE": "mm", "IYOKAN_TK_PIPE": "force"})
+    run("pipe vpu-ablated (exposed MXU+ovh)", 1024,
+        {"IYOKAN_TK_ABLATE": "rot,decompose,recomb",
+         "IYOKAN_TK_PIPE": "force"})
+    run("pipe G=2048 BG=512 (grid 2)", 2048, {})
+    run("serial G=2048 BG=1024", 2048,
+        {"IYOKAN_TK_PIPE": "0", "IYOKAN_PALLAS_BG": "1024"})
+    run("pipe G=2048 BG=1024 (grid 1)", 2048, {"IYOKAN_PALLAS_BG": "1024"})
+    run("serial G=2048 BG=1024 vpu-ablated", 2048,
+        {"IYOKAN_TK_PIPE": "0", "IYOKAN_PALLAS_BG": "1024",
+         "IYOKAN_TK_ABLATE": "rot,decompose,recomb"})
+
+
+if __name__ == "__main__":
+    main()
