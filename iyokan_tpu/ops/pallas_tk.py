@@ -211,8 +211,9 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
     outb_ref[...] = outb
 
 
-def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, abar_ref, acca_ref,
-                 accb_ref, bk_hbm, outa_ref, outb_ref, bk_buf, sems):
+def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, abar_ref,
+                 acca_ref, accb_ref, bk_hbm, outa_ref, outb_ref, bk_buf,
+                 sems):
     """Software-pipelined fat+split kernel: TWO independent gate chains
     (rows [0:BG] and [BG:2BG]) interleaved so one chain's VPU work
     (rotation, decomposition, recombination) overlaps the other chain's
@@ -257,10 +258,13 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, abar_ref, acca_ref,
                 xp = xs[part][:, 128 * b:128 * (b + 1)]
                 for j in range(p.l):
                     sh = 32 - (j + 1) * p.Bgbit
-                    pieces.append(
-                        ((xp >> u32(sh)) & u32(p.Bg - 1)).astype(i32)
-                        - p.Bg // 2)
-        return jnp.concatenate(pieces, axis=-1).astype(i8)
+                    w = (((xp >> u32(sh)) & u32(p.Bg - 1)).astype(i32)
+                         - p.Bg // 2)
+                    # ext8: cast per piece so the concat copies i8, not
+                    # i32 (4x less VMEM traffic on the hot path)
+                    pieces.append(w.astype(i8) if ext8 else w)
+        out = jnp.concatenate(pieces, axis=-1)
+        return out if ext8 else out.astype(i8)
 
     def mm(a, b):
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -344,8 +348,10 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, abar_ref, acca_ref,
 
 @functools.lru_cache(maxsize=None)
 def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
-               fat2: bool = False, ablate: frozenset = frozenset()):
-    kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2, ablate)
+               fat2: bool = False, ablate: frozenset = frozenset(),
+               ext8: bool = False):
+    kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2, ablate,
+                               ext8)
     part_spec = pl.BlockSpec((2 * BG, p.N), lambda g: (g, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -470,7 +476,8 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
             and Gp % (2 * BG) == 0):
         rows = jnp.concatenate(
             [rows, jnp.zeros((1, Gp), rows.dtype)], axis=0)
-        outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate)(
+        ext8 = os.environ.get("IYOKAN_TK_EXT8", "0") == "1"
+        outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate, ext8)(
             rows, acc_a, acc_b, bk_tk)
         return jnp.stack([outa, outb], axis=1)[:G]
     outa, outb = _call(p, Gp, BG, n_steps, L, fat, split, unroll,

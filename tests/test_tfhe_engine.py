@@ -80,3 +80,22 @@ def test_tfhe_cmux_ram(toy_sk, toy_ek):
     # cycle 1 reads address 3 = 0xf (preload); RAM now holds 1101 at addr 2
     np.testing.assert_array_equal(got.bits["rdata"], [1, 1, 1, 1])
     np.testing.assert_array_equal(got.ram["ramA"][2 * 4 : 3 * 4], [1, 1, 0, 1])
+
+
+def test_settle_stage_breakdown(toy_sk, toy_ek):
+    """settle(stages=...) accumulates per-category seconds (the breakdown
+    tools/run_diamond_tfhe.py reports) without changing results."""
+    bp = Blueprint(os.path.join(DATA, "tiny-ram.toml"))
+    req = packet_mod.PlainPacket(
+        bits={"addr": np.array([0, 1], np.uint8),
+              "wren": np.array([0], np.uint8),
+              "wdata": np.array([0, 0, 0, 0], np.uint8)},
+    ).encrypt(toy_sk, seed=7)
+    fe = Frontend("tfhe", bp, req, eval_key=toy_ek)
+    stages = {}
+    vals, rams = fe.engine.settle(fe.vals, fe.rams, fe.roms, stages=stages)
+    assert "ram_write" in stages and "ram_read" in stages
+    assert all(v >= 0 for v in stages.values())
+    # the instrumented sweep computes the same values as the plain sweep
+    vals2, _ = fe.engine.settle(fe.vals, fe.rams, fe.roms)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(vals2))

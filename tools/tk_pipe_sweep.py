@@ -87,6 +87,7 @@ def main():
     run("serial G=2048 BG=1024 vpu-ablated", 2048,
         {"IYOKAN_TK_PIPE": "0", "IYOKAN_PALLAS_BG": "1024",
          "IYOKAN_TK_ABLATE": "rot,decompose,recomb"})
+    run("pipe ext8 (i8 concat)", 1024, {"IYOKAN_TK_EXT8": "1"})
 
 
 if __name__ == "__main__":
