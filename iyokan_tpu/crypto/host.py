@@ -128,6 +128,8 @@ class EvalKey:
     # (s_2i*(1-s_2i+1), s_2i+1*(1-s_2i), s_2i*s_2i+1) per key-bit pair --
     # halves the sequential depth of the blind rotation.
     bku: np.ndarray = None
+    # lvl2 analog of bku for the circuit-bootstrap rotation (see genevalkey)
+    bk2u: np.ndarray = None
 
     def save(self, path: str) -> None:
         with open(path, "wb") as f:
@@ -136,6 +138,8 @@ class EvalKey:
                 bk=self.bk, bk2=self.bk2, ksk=self.ksk, pksk=self.pksk,
                 bku=(self.bku if self.bku is not None
                      else np.zeros((0,), np.uint32)),
+                bk2u=(self.bk2u if self.bk2u is not None
+                      else np.zeros((0,), np.uint64)),
             )
 
     @staticmethod
@@ -144,9 +148,10 @@ class EvalKey:
         if "kind" not in z.files or str(z["kind"]) != "eval-key":
             raise ValueError(f"{path!r} is not an eval key file")
         bku = z["bku"] if "bku" in z.files and z["bku"].size else None
+        bk2u = z["bk2u"] if "bk2u" in z.files and z["bk2u"].size else None
         return EvalKey(
             by_name(str(z["params"])), z["bk"], z["bk2"], z["ksk"], z["pksk"],
-            bku,
+            bku, bk2u,
         )
 
 
@@ -323,8 +328,22 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None,
             z2[:, j, 0, 0] += g
             z2[:, p.l2 + j, 1, 0] += g
         bk2 = z2
+
+        # 2-bit unrolled circuit-bootstrapping key: the lvl2 analog of bku
+        # (same pair messages), halving the sequential depth of the
+        # latency-bound CB blind rotation (~23 rows/cycle on cahp-diamond)
+        z2u = trlwe2_encrypt(
+            sk, np.zeros((len(sa), 3, 2 * p.l2, p.N2), np.uint64),
+            p.alpha2, rng
+        )
+        for j in range(p.l2):
+            g2 = msgs << np.uint64(64 - (j + 1) * p.Bgbit2)   # [n2, 3]
+            z2u[:, :, j, 0, 0] += g2
+            z2u[:, :, p.l2 + j, 1, 0] += g2
+        bk2u = z2u
     else:
         bk2 = np.zeros((0, 2 * p.l2, 2, p.N2), np.uint64)
+        bk2u = np.zeros((0, 3, 2 * p.l2, 2, p.N2), np.uint64)
 
     # --- identity key switch lvl1 -> lvl0 (signed-digit scalar rows) --------
     # row (z, j) = TLWE_s0( s1_z * 2^(32-(j+1)*basebit) )
@@ -356,7 +375,7 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None,
 
     return EvalKey(p, bk.astype(np.uint32), bk2.astype(np.uint64),
                    ksk.astype(np.uint32), pksk.astype(np.uint32),
-                   bku.astype(np.uint32))
+                   bku.astype(np.uint32), bk2u.astype(np.uint64))
 
 
 # --------------------------------------------------------------------------- #

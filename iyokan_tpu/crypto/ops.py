@@ -411,6 +411,37 @@ def blind_rotate2(tlwe0: jnp.ndarray, bk2_prep: jnp.ndarray,
     )
     acc = jnp.stack([jnp.zeros((G, p.N2), u64), acc_b], axis=1)
 
+    # 2-bit unrolled CB key (rows per pair step: 3*2l2, see host.genevalkey
+    # bk2u): halves the sequential depth of this latency-bound loop.
+    if bk2_prep.shape[-4] == 6 * p.l2:
+        nh = bk2_prep.shape[0]
+        pad = 2 * nh - p.n
+        if pad:
+            abar = jnp.concatenate(
+                [abar, jnp.zeros((G, pad), abar.dtype)], axis=1
+            )
+        a1s = abar[:, 0::2]
+        a2s = abar[:, 1::2]
+        a12s = (a1s + a2s) % (2 * p.N2)
+
+        def body_u(i, acc):
+            sh = acc.shape[:-1]
+            d = jnp.concatenate(
+                [
+                    decompose2(
+                        rot_poly(acc, jnp.broadcast_to(
+                            aa[:, i][:, None], sh), p.N2) - acc, p
+                    )
+                    for aa in (a1s, a2s, a12s)
+                ],
+                axis=-2,
+            )                                            # [G, 3*2l2, N2]
+            g = jax.lax.dynamic_index_in_dim(bk2_prep, i, axis=0,
+                                             keepdims=False)
+            return acc + be.extprod2(d, g, p)
+
+        return jax.lax.fori_loop(0, nh, body_u, acc)
+
     def body(i, acc):
         r = abar[:, i][:, None]
         rot = rot_poly(acc, jnp.broadcast_to(r, acc.shape[:-1]), p.N2)
@@ -507,6 +538,7 @@ class DeviceKeys:
     bk2ntt: jnp.ndarray     # backend-prepared BK2, leading [n] axis (or [0])
     pksk_mats: Tuple[jnp.ndarray, jnp.ndarray]  # u32 [N2*t21, 2N] each
     bkuntt: jnp.ndarray = None  # 2-bit-unrolled BK prep (latency path)
+    bk2untt: jnp.ndarray = None  # 2-bit-unrolled BK2 prep (CB latency path)
 
     def bk_for(self, batch: int) -> jnp.ndarray:
         """Unrolled key for small (latency-bound) batches, plain key for
@@ -516,6 +548,13 @@ class DeviceKeys:
         if self.bkuntt is not None and batch <= thr:
             return self.bkuntt
         return self.bkntt
+
+    def bk2_for(self) -> jnp.ndarray:
+        """CB batches are always tiny (one row per address bit), so the
+        depth-halved unrolled key wins whenever present."""
+        if self.bk2untt is not None:
+            return self.bk2untt
+        return self.bk2ntt
 
     @staticmethod
     def from_evalkey(ek: EvalKey, with_cb: bool = True,
@@ -536,6 +575,8 @@ class DeviceKeys:
         h.update(np.asarray(ek.ksk[:1]).tobytes())
         if with_cb:
             h.update(np.asarray(ek.bk2[:1]).tobytes())
+            if ek.bk2u is not None and ek.bk2u.size:
+                h.update(np.asarray(ek.bk2u[:1]).tobytes())
         if ek.bku is not None:
             h.update(np.asarray(ek.bku[:1]).tobytes())
         cache_key = (
@@ -586,10 +627,19 @@ class DeviceKeys:
             bkuntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bku))
         ksk_mat = jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1))
 
+        bk2untt = None
         if with_cb:
             bk2ntt = jax.jit(lambda bk2: be.prep2(bk2, p))(
                 jnp.asarray(ek.bk2, u64)
             )
+            if (ek.bk2u is not None and ek.bk2u.size
+                    and not os.environ.get("IYOKAN_NO_UNROLL")):
+                b2u = ek.bk2u.reshape(
+                    ek.bk2u.shape[0], 3 * 2 * p.l2, 2, p.N2
+                )
+                bk2untt = jax.jit(lambda z: be.prep2(z, p))(
+                    jnp.asarray(b2u, u64)
+                )
             pk = ek.pksk  # u32 [2, N2, t, 2, N]
             mats = tuple(
                 jnp.asarray(pk[i].reshape(p.N2 * p.pks_t, 2 * p.N))
@@ -603,7 +653,8 @@ class DeviceKeys:
                 jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
                 jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
             )
-        dk = DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats, bkuntt)
+        dk = DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats, bkuntt,
+                        bk2untt)
         _DEVICE_KEY_CACHE[cache_key] = dk
         return dk
 
@@ -611,7 +662,8 @@ class DeviceKeys:
 jax.tree_util.register_pytree_node(
     DeviceKeys,
     lambda dk: (
-        (dk.bkntt, dk.ksk_mat, dk.bk2ntt, dk.pksk_mats, dk.bkuntt),
+        (dk.bkntt, dk.ksk_mat, dk.bk2ntt, dk.pksk_mats, dk.bkuntt,
+         dk.bk2untt),
         (dk.params, dk.backend),
     ),
     lambda aux, children: DeviceKeys(aux[0], aux[1], *children),

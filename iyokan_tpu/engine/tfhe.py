@@ -337,7 +337,7 @@ class TFHEEngine:
         """
         p = self.p
         tl = vals[np.asarray(addr_nodes, np.int32)]
-        trgsw = ops.circuit_bootstrap(tl, keys.bk2ntt,
+        trgsw = ops.circuit_bootstrap(tl, keys.bk2_for(),
                                       keys.pksk_mats, p, keys.backend)
         inv = ops.trgsw_invert(trgsw, p)
         both = jnp.stack([trgsw, inv], axis=1)       # [a, 2, 2l, 2, N]

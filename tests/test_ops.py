@@ -155,3 +155,31 @@ def test_circuit_bootstrap_cmux(toy, toy_sk, toy_dk, rng):
         ph = host.trlwe1_phase(toy_sk, np.asarray(out))
         got = 1 if ph[0] < 1 << 31 else 0
         assert got == (0 if (1 - m) else 1), f"CBInv bit {m}"
+
+
+@pytest.mark.slow
+def test_circuit_bootstrap_unrolled_key(toy, toy_sk, toy_dk, rng):
+    """The 2-bit unrolled CB key (bk2u, half sequential depth) drives the
+    same CMUX selections as the plain bk2 path."""
+    p = toy
+    assert toy_dk.bk2untt is not None
+    assert toy_dk.bk2_for() is toy_dk.bk2untt
+    bits = np.array([0, 1], np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+
+    @jax.jit
+    def cb(ct):
+        return ops.circuit_bootstrap(ct, toy_dk.bk2untt, toy_dk.pksk_mats, p)
+
+    trgsw = cb(ct)
+    mu = np.uint32(p.mu)
+    m0 = np.zeros(p.N, np.uint32); m0[0] = mu                 # bit 1
+    m1 = np.zeros(p.N, np.uint32); m1[0] = np.uint32(0) - mu  # bit 0
+    c0 = jnp.asarray(host.trlwe1_encrypt(toy_sk, m0, p.alpha1, rng))
+    c1 = jnp.asarray(host.trlwe1_encrypt(toy_sk, m1, p.alpha1, rng))
+    for i, m in enumerate(bits):
+        g_ntt = jax.jit(lambda g: ops.prep_trgsw(g, p))(trgsw[i])
+        out = jax.jit(lambda gn, a, b: ops.cmux(gn, a, b, p))(g_ntt, c1, c0)
+        ph = host.trlwe1_phase(toy_sk, np.asarray(out))
+        got = 1 if ph[0] < 1 << 31 else 0
+        assert got == (0 if m else 1), f"CB(bk2u) bit {m}"
