@@ -343,13 +343,55 @@ class TFHEEngine:
         both = jnp.stack([trgsw, inv], axis=1)       # [a, 2, 2l, 2, N]
         return ops.prep_trgsw(both, p, keys.backend)
 
-    def _rom_read(self, keys, vals, rom_store, name):
+    def _cb_fn(self, nodes: tuple):
+        """One jitted CB batch for ALL memory instances of a level: the
+        635-step lvl2 rotation is latency-bound at these widths (7-23
+        rows), so per-instance loops would each pay the full depth."""
+        key = ("cb", nodes)
+        if key not in self._mem_fns:
+            arr = np.asarray(nodes, np.int32)
+            self._mem_fns[key] = jax.jit(
+                lambda keys, vals: self._cb_pairs(keys, vals, arr)
+            )
+        return self._mem_fns[key]
+
+    def _mem_level(self, keys, vals, rams, roms, plan, ram_sel, mark=None):
+        """Run all ROM/RAM reads of one level: a single batched CB over
+        every instance's address bits, then the per-instance trees."""
+        mems = ([("rom", nm) for nm in plan.rom_reads]
+                + [("ram", nm) for nm in plan.ram_reads])
+        nodes, spans = [], []
+        for kind, nm in mems:
+            inst = (self.d.rom_insts if kind == "rom"
+                    else self.d.ram_insts)[nm]
+            spans.append((kind, nm, len(nodes),
+                          len(nodes) + len(inst.addr_nodes)))
+            nodes.extend(inst.addr_nodes)
+        gn_all = self._cb_fn(tuple(nodes))(keys, vals)
+        if mark is not None:
+            mark(f"cb x{len(nodes)}", "cb")
+        for kind, nm, lo, hi in spans:
+            gn = gn_all[lo:hi]
+            if kind == "rom":
+                vals = self._mem_fn("rom", nm)(keys, vals, roms[nm], gn)
+                if mark is not None:
+                    mark(f"rom {nm}", "rom_read")
+            else:
+                vals = self._mem_fn("ram_read", nm)(keys, vals, rams[nm], gn)
+                ram_sel[nm] = gn
+                if mark is not None:
+                    mark(f"ram-read {nm}", "ram_read")
+        return vals
+
+    def _rom_read(self, keys, vals, rom_store, gn, name):
         """Reference TaskTFHEppROMUX: UROMUX inter-word CMUX tree then LROMUX
-        intra-word rotate ladder (src/iyokan_tfhepp.hpp:238-338)."""
+        intra-word rotate ladder (src/iyokan_tfhepp.hpp:238-338).
+
+        gn: prepared CBWithInv selectors for this instance's address bits
+        (sliced from the level's shared CB batch, see _mem_level)."""
         p = self.p
         inst = self.d.rom_insts[name]
         a, w = inst.addr_width, inst.data_width
-        gn = self._cb_pairs(keys, vals, inst.addr_nodes)
         log2w = w.bit_length() - 1
         log2wpt = p.logN - log2w                     # words per TRLWE
         n_inter = max(0, a - log2wpt)
@@ -373,12 +415,13 @@ class TFHEEngine:
         out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
         return vals.at[np.asarray(inst.read_nodes, np.int32)].set(out)
 
-    def _ram_read(self, keys, vals, ram_store, name):
+    def _ram_read(self, keys, vals, ram_store, gn, name):
         """Reference TaskTFHEppRAMUX (src/iyokan_tfhepp.hpp:409-498):
-        CMUX tree over 2^a words per data bit, inverted selectors."""
+        CMUX tree over 2^a words per data bit, inverted selectors.
+
+        gn: prepared selectors from the level's shared CB (_mem_level)."""
         p = self.p
         inst = self.d.ram_insts[name]
-        gn = self._cb_pairs(keys, vals, inst.addr_nodes)
         words = ram_store                            # [2^a, w, 2, N]
         for b in range(inst.addr_width):
             g = gn[b, 1]                             # inverted
@@ -387,8 +430,7 @@ class TFHEEngine:
         acc = words[0]                               # [w, 2, N]
         lvl1 = ops.sample_extract(acc, 0)            # [w, N+1]
         out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
-        vals = vals.at[np.asarray(inst.read_nodes, np.int32)].set(out)
-        return vals, gn
+        return vals.at[np.asarray(inst.read_nodes, np.int32)].set(out)
 
     def _ram_write(self, keys, vals, store, gn, name):
         """Reference write path (src/iyokan_tfhepp.hpp:500-673): MUXwoSE ->
@@ -485,14 +527,8 @@ class TFHEEngine:
                     _, sig, flat, _n = entry
                     vals = self._group_fn(sig)(keys, vals, *flat)
                     continue
-                plan = entry[1]
-                for name in plan.rom_reads:
-                    vals = self._mem_fn("rom", name)(keys, vals, roms[name])
-                for name in plan.ram_reads:
-                    vals, gn = self._mem_fn("ram_read", name)(
-                        keys, vals, rams[name]
-                    )
-                    ram_sel[name] = gn
+                vals = self._mem_level(keys, vals, rams, roms, entry[1],
+                                       ram_sel)
             new_rams = {}
             for name, store in rams.items():
                 new_rams[name] = self._mem_fn("ram_write", name)(
@@ -516,15 +552,15 @@ class TFHEEngine:
             if len(pp["not_out"]) or len(pp["copy_out"]):
                 vals = self._simple(vals, pp)
                 lv_t += mark(f"level {lv+1} simple", "simple")
-            for name in plan.rom_reads:
-                vals = self._mem_fn("rom", name)(keys, vals, roms[name])
-                lv_t += mark(f"level {lv+1} rom {name}", "rom_read")
-            for name in plan.ram_reads:
-                vals, gn = self._mem_fn("ram_read", name)(
-                    keys, vals, rams[name]
-                )
-                ram_sel[name] = gn
-                lv_t += mark(f"level {lv+1} ram-read {name}", "ram_read")
+            if plan.rom_reads or plan.ram_reads:
+                mem_t = []
+
+                def mem_mark(tag, cat, lv=lv):
+                    mem_t.append(mark(f"level {lv+1} {tag}", cat))
+
+                vals = self._mem_level(keys, vals, rams, roms, plan,
+                                       ram_sel, mark=mem_mark)
+                lv_t += sum(mem_t)
             if timer is not None:
                 timer.append(lv_t)
             if progress is not None:

@@ -71,7 +71,8 @@ def main():
         stot = time.time() - t0
         print(f"per-stage breakdown (one synced, unfused cycle, "
               f"{stot:.2f}s):", flush=True)
-        for cat in ("gates", "simple", "rom_read", "ram_read", "ram_write"):
+        for cat in ("gates", "simple", "cb", "rom_read", "ram_read",
+                    "ram_write"):
             if cat in stages:
                 print(f"  {cat:>10}: {stages[cat]:6.2f}s "
                       f"({100*stages[cat]/stot:4.1f}%)", flush=True)
