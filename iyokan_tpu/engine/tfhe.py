@@ -432,43 +432,67 @@ class TFHEEngine:
         out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
         return vals.at[np.asarray(inst.read_nodes, np.int32)].set(out)
 
-    def _ram_write(self, keys, vals, store, gn, name):
-        """Reference write path (src/iyokan_tfhepp.hpp:500-673): MUXwoSE ->
-        per-address CMUX chains -> SEI+KS -> batched bootstrap refresh."""
+    def _ram_write_all(self, names, keys, vals, stores, gns):
+        """All RAM instances' write paths in one traced call: one MUXwoSE
+        blind rotate, per-instance CMUX chains, then ONE fused SEI -> KS ->
+        refresh bootstrap over the concatenated (2^a * w) words of every
+        instance -- the refresh is the widest batch of the cycle, and
+        splitting it per instance would run the 635-step rotation twice."""
         p = self.p
-        inst = self.d.ram_insts[name]
-        a, w = inst.addr_width, inst.data_width
         mu = u32(p.mu)
-
-        wren = vals[inst.wren_node]                  # [n+1]
-        wdata = vals[np.asarray(inst.wdata_nodes, np.int32)]
-        rdata = vals[np.asarray(inst.rdata_out_nodes, np.int32)]
-
-        # MUXwoSE: written = wren ? wdata : rdata, output stays TRLWE lvl1
-        pre1 = (wren[None, :] + wdata).at[:, p.n].add(u32(0) - mu)
-        pre2 = (rdata - wren[None, :]).at[:, p.n].add(u32(0) - mu)
         testv = jnp.full((p.N,), mu)
-        tr = ops.blind_rotate(jnp.concatenate([pre1, pre2]),
-                              keys.bk_for(2 * w), testv, p, keys.backend)
-        written = tr[:w] + tr[w:]
-        written = written.at[:, 1, 0].add(mu)        # [w, 2, N]
 
-        # per-address chains, batched over (2^a, w)
-        addrs = np.arange(1 << a)
-        acc = jnp.broadcast_to(written[None], (1 << a, w, 2, p.N))
-        for j in range(a):
-            sel = ((addrs >> j) & 1).astype(np.int32)     # 1 -> normal(0)
-            pol = np.where(sel == 1, 0, 1)
-            g = gn[j][pol]                           # [2^a, 2l, 2, K, N]
-            g = g[:, None]                           # broadcast over w
-            acc = ops.cmux(g, acc, store, p, keys.backend)
+        insts = [self.d.ram_insts[nm] for nm in names]
+        pres1, pres2 = [], []
+        for inst in insts:
+            wren = vals[inst.wren_node]              # [n+1]
+            wdata = vals[np.asarray(inst.wdata_nodes, np.int32)]
+            rdata = vals[np.asarray(inst.rdata_out_nodes, np.int32)]
+            pres1.append((wren[None, :] + wdata).at[:, p.n].add(u32(0) - mu))
+            pres2.append((rdata - wren[None, :]).at[:, p.n].add(u32(0) - mu))
+        ws = [inst.data_width for inst in insts]
+        W = sum(ws)
+        tr = ops.blind_rotate(jnp.concatenate(pres1 + pres2),
+                              keys.bk_for(2 * W), testv, p, keys.backend)
 
-        lvl1 = ops.sample_extract(acc, 0)            # [2^a, w, N+1]
-        flat = shard_batch(lvl1.reshape((1 << a) * w, p.N + 1))
+        lvl1_rows, shapes = [], []
+        off = 0
+        for inst, store, gn, w in zip(insts, stores, gns, ws):
+            a = inst.addr_width
+            written = tr[off:off + w] + tr[W + off:W + off + w]
+            written = written.at[:, 1, 0].add(mu)    # [w, 2, N]
+            off += w
+
+            addrs = np.arange(1 << a)
+            acc = jnp.broadcast_to(written[None], (1 << a, w, 2, p.N))
+            for j in range(a):
+                sel = ((addrs >> j) & 1).astype(np.int32)  # 1 -> normal(0)
+                pol = np.where(sel == 1, 0, 1)
+                g = gn[j][pol]                       # [2^a, 2l, 2, K, N]
+                g = g[:, None]                       # broadcast over w
+                acc = ops.cmux(g, acc, store, p, keys.backend)
+            lvl1_rows.append(
+                ops.sample_extract(acc, 0).reshape((1 << a) * w, p.N + 1)
+            )
+            shapes.append((1 << a, w))
+
+        flat = shard_batch(jnp.concatenate(lvl1_rows))
         tlwe0 = ops.keyswitch_10(flat, keys.ksk_mat, p)
-        fresh = ops.blind_rotate(tlwe0, keys.bk_for((1 << a) * w), testv,
+        fresh = ops.blind_rotate(tlwe0, keys.bk_for(flat.shape[0]), testv,
                                  p, keys.backend)
-        return fresh.reshape(1 << a, w, 2, p.N)
+        outs, off = [], 0
+        for (A, w) in shapes:
+            outs.append(fresh[off:off + A * w].reshape(A, w, 2, p.N))
+            off += A * w
+        return tuple(outs)
+
+    def _ram_write_fn(self, names: tuple):
+        key = ("ram_write_all", names)
+        if key not in self._mem_fns:
+            self._mem_fns[key] = jax.jit(
+                functools.partial(self._ram_write_all, names)
+            )
+        return self._mem_fns[key]
 
     # ------------------------------------------------------------------ #
     def _mem_fn(self, kind: str, name: str):
@@ -476,10 +500,8 @@ class TFHEEngine:
         if key not in self._mem_fns:
             if kind == "rom":
                 fn = jax.jit(functools.partial(self._rom_read, name=name))
-            elif kind == "ram_read":
-                fn = jax.jit(functools.partial(self._ram_read, name=name))
             else:
-                fn = jax.jit(functools.partial(self._ram_write, name=name))
+                fn = jax.jit(functools.partial(self._ram_read, name=name))
             self._mem_fns[key] = fn
         return self._mem_fns[key]
 
@@ -530,10 +552,14 @@ class TFHEEngine:
                 vals = self._mem_level(keys, vals, rams, roms, entry[1],
                                        ram_sel)
             new_rams = {}
-            for name, store in rams.items():
-                new_rams[name] = self._mem_fn("ram_write", name)(
-                    keys, vals, store, ram_sel[name]
+            if rams:
+                names = tuple(sorted(rams))
+                outs = self._ram_write_fn(names)(
+                    keys, vals,
+                    tuple(rams[n] for n in names),
+                    tuple(ram_sel[n] for n in names),
                 )
+                new_rams = dict(zip(names, outs))
             return vals, new_rams
 
         for lv, (plan, pp) in enumerate(
@@ -567,13 +593,17 @@ class TFHEEngine:
                 progress(plan.n_gates)
 
         new_rams = {}
-        for name, store in rams.items():
-            new_rams[name] = self._mem_fn("ram_write", name)(
-                keys, vals, store, ram_sel[name]
+        if rams:
+            names = tuple(sorted(rams))
+            outs = self._ram_write_fn(names)(
+                keys, vals,
+                tuple(rams[n] for n in names),
+                tuple(ram_sel[n] for n in names),
             )
+            new_rams = dict(zip(names, outs))
             if sync:
-                jax.block_until_ready(new_rams[name])
-            mark(f"ram-write {name}", "ram_write")
+                jax.block_until_ready(outs)
+            mark(f"ram-write x{len(names)}", "ram_write")
         return vals, new_rams
 
     def _simple(self, vals, pp):
