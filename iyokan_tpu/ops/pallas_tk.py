@@ -211,20 +211,27 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
     outb_ref[...] = outb
 
 
-def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, abar_ref,
-                 acca_ref, accb_ref, bk_hbm, outa_ref, outb_ref, bk_buf,
-                 sems):
-    """Software-pipelined fat+split kernel: TWO independent gate chains
-    (rows [0:BG] and [BG:2BG]) interleaved so one chain's VPU work
-    (rotation, decomposition, recombination) overlaps the other chain's
+def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains,
+                 abar_ref, acca_ref, accb_ref, bk_hbm, outa_ref, outb_ref,
+                 bk_buf, sems):
+    """Software-pipelined fat+split kernel: C independent gate chains
+    (rows [c*BG:(c+1)*BG]) interleaved so one chain's VPU work
+    (rotation, decomposition, recombination) overlaps another chain's
     matmuls on the MXU.  Ablations of the serial kernel show its per-step
     stages strictly serialize (dots-only 84 ms + vpu-only 31 ms vs
-    165 ms full, PERF.md round 2); the two-chain interleave recovers the
-    overlap that the single chain's rot -> ext -> dots -> acc data
+    165 ms full, PERF.md round 2); the interleave recovers the
+    overlap that a single chain's rot -> ext -> dots -> acc data
     dependency forbids.  Same math as _kernel (fat layout, split dots),
-    so bit-identical results per chain."""
+    so bit-identical results per chain.
+
+    Modulo schedule (II = 1), window c of step i:
+      issue dots[c](i) | recomb + next ext of chain (c-1) mod C
+    where chain C-1's dot results cross the iteration boundary in the
+    carry and its step-i ext is built in window 0 (before window C-1
+    consumes it)."""
     N = p.N
-    BG = acca_ref.shape[0] // 2
+    C = chains
+    BG = acca_ref.shape[0] // C
     NB = N // 128
     RR = 2 * p.l
     offset = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(p.l))
@@ -305,16 +312,12 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, abar_ref,
                 wk.append(z)
         return jnp.concatenate(wka, axis=-1), jnp.concatenate(wkb, axis=-1)
 
+    def rows_of(c):
+        return slice(c * BG, (c + 1) * BG)
+
     def body(i, carry):
-        """Modulo-scheduled (II = 1): every VPU stage is issued while an
-        MXU dot group with no data dependency on it is in flight, so in
-        steady state no VPU op waits on the MXU and vice versa.
-
-          issue dots A(i)   | recomb B(i-1), ext B(i)     <- VPU under A
-          issue dots B(i)   | recomb A(i),   ext A(i+1)   <- VPU under B
-
-        Chain B's dot results cross the iteration boundary in the carry."""
-        aA, bA, aB, bB, extA, ssB = carry
+        accs, exts, ss_last = carry
+        accs, exts = list(accs), list(exts)
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < n_steps)
@@ -323,42 +326,59 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, abar_ref,
 
         dma(i, slot).wait()
         bk = bk_buf[slot]
-        ssA = dots_raw(extA, bk)                      # MXU: chain A step i
-        ua, ub = recomb(ssB)                          # VPU: B step i-1
-        aB, bB = aB + ua, bB + ub
-        extB = ext_of(aB, bB, abar_ref[i, BG:])
-        ssB = dots_raw(extB, bk)                      # MXU: chain B step i
-        ua, ub = recomb(ssA)                          # VPU: A step i
-        aA, bA = aA + ua, bA + ub
-        # row n_steps of abar is a zero pad: the final iteration's
-        # lookahead stays in bounds (its ext is computed and discarded)
-        extA2 = ext_of(aA, bA, abar_ref[i + 1, :BG])
-        return aA, bA, aB, bB, extA2, ssB
+        ss = [None] * C
+        for c in range(C):
+            ss[c] = dots_raw(exts[c], bk)        # MXU: chain c step i
+            prev = (c - 1) % C
+            if prev == C - 1:
+                # chain C-1's dots of step i-1 (carried); its step-i ext
+                # is built here, a window before dots[C-1](i) needs it
+                ua, ub = recomb(tuple(ss_last))
+                r = abar_ref[i, rows_of(prev)]
+            else:
+                # chain prev's dots were issued one window ago (step i);
+                # row n_steps of abar is a zero pad so the final
+                # iteration's lookahead stays in bounds
+                ua, ub = recomb(ss[prev])
+                r = abar_ref[i + 1, rows_of(prev)]
+            accs[2 * prev] = accs[2 * prev] + ua
+            accs[2 * prev + 1] = accs[2 * prev + 1] + ub
+            exts[prev] = ext_of(accs[2 * prev], accs[2 * prev + 1], r)
+        return tuple(accs), tuple(exts), tuple(ss[C - 1])
 
-    extA0 = ext_of(acca_ref[:BG], accb_ref[:BG], abar_ref[0, :BG])
+    accs0 = []
+    for c in range(C):
+        accs0 += [acca_ref[rows_of(c)], accb_ref[rows_of(c)]]
+    exts0 = [
+        ext_of(accs0[2 * c], accs0[2 * c + 1], abar_ref[0, rows_of(c)])
+        if c < C - 1 else
+        jnp.zeros((BG, RR * N), i8)              # built in window 0
+        for c in range(C)
+    ]
     ss0 = [jnp.zeros((BG, 2 * L * 128), i32) for _ in range(NB)]
-    aA, bA, aB, bB, _, ssB = jax.lax.fori_loop(
-        0, n_steps, body,
-        (acca_ref[:BG], accb_ref[:BG], acca_ref[BG:], accb_ref[BG:],
-         extA0, ss0))
-    ua, ub = recomb(ssB)                              # epilogue: last B
-    outa_ref[...] = jnp.concatenate([aA, aB + ua], axis=0)
-    outb_ref[...] = jnp.concatenate([bA, bB + ub], axis=0)
+    accs, _, ss_last = jax.lax.fori_loop(
+        0, n_steps, body, (tuple(accs0), tuple(exts0), tuple(ss0)))
+    ua, ub = recomb(tuple(ss_last))              # epilogue: last chain C-1
+    accs = list(accs)
+    accs[2 * (C - 1)] = accs[2 * (C - 1)] + ua
+    accs[2 * (C - 1) + 1] = accs[2 * (C - 1) + 1] + ub
+    outa_ref[...] = jnp.concatenate(accs[0::2], axis=0)
+    outb_ref[...] = jnp.concatenate(accs[1::2], axis=0)
 
 
 @functools.lru_cache(maxsize=None)
 def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
                fat2: bool = False, ablate: frozenset = frozenset(),
-               ext8: bool = False):
+               ext8: bool = False, chains: int = 2):
     kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2, ablate,
-                               ext8)
-    part_spec = pl.BlockSpec((2 * BG, p.N), lambda g: (g, 0),
+                               ext8, chains)
+    part_spec = pl.BlockSpec((chains * BG, p.N), lambda g: (g, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(G // (2 * BG),),
+        grid=(G // (chains * BG),),
         in_specs=[
-            pl.BlockSpec((n_steps + 1, 2 * BG), lambda g: (0, g),
+            pl.BlockSpec((n_steps + 1, chains * BG), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
             part_spec,
             part_spec,
@@ -466,19 +486,20 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
         x for x in os.environ.get("IYOKAN_TK_ABLATE", "").split(",") if x
     )
     split = fat and os.environ.get("IYOKAN_TK_DOTS", "split") == "split"
-    # two-chain software-pipelined kernel for batches of >= 2 blocks
-    # (VPU work of one chain hides under the other chain's matmuls).
+    # C-chain software-pipelined kernel for batches of >= C blocks
+    # (VPU work of one chain hides under another chain's matmuls).
     # Ablations run on the serial kernel unless IYOKAN_TK_PIPE=force.
     pipe_env = os.environ.get("IYOKAN_TK_PIPE", "1")
+    chains = int(os.environ.get("IYOKAN_TK_CHAINS", "2"))
     if (fat and split and not unroll
             and (not ablate or pipe_env == "force")
             and pipe_env != "0"
-            and Gp % (2 * BG) == 0):
+            and Gp % (chains * BG) == 0):
         rows = jnp.concatenate(
             [rows, jnp.zeros((1, Gp), rows.dtype)], axis=0)
         ext8 = os.environ.get("IYOKAN_TK_EXT8", "0") == "1"
-        outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate, ext8)(
-            rows, acc_a, acc_b, bk_tk)
+        outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate, ext8,
+                                chains)(rows, acc_a, acc_b, bk_tk)
         return jnp.stack([outa, outb], axis=1)[:G]
     outa, outb = _call(p, Gp, BG, n_steps, L, fat, split, unroll,
                        fat2, ablate)(rows, acc_a, acc_b, bk_tk)

@@ -88,6 +88,10 @@ def main():
         {"IYOKAN_TK_PIPE": "0", "IYOKAN_PALLAS_BG": "1024",
          "IYOKAN_TK_ABLATE": "rot,decompose,recomb"})
     run("pipe ext8 (i8 concat)", 1024, {"IYOKAN_TK_EXT8": "1"})
+    run("pipe 4 chains BG=256", 1024,
+        {"IYOKAN_TK_CHAINS": "4", "IYOKAN_PALLAS_BG": "256"})
+    run("pipe 3 chains BG=512", 1536, {"IYOKAN_TK_CHAINS": "3"})
+    run("pipe 4 chains BG=512", 2048, {"IYOKAN_TK_CHAINS": "4"})
 
 
 if __name__ == "__main__":
