@@ -583,7 +583,8 @@ class DeviceKeys:
             p.name, bool(with_cb), be.name, h.hexdigest(),
             tuple(os.environ.get(k) for k in (
                 "IYOKAN_BR_IMPL", "IYOKAN_TK_LAYOUT", "IYOKAN_TKEY_LIMBS",
-                "IYOKAN_NO_UNROLL", "IYOKAN_TK_UNROLL", "IYOKAN_EP")),
+                "IYOKAN_NO_UNROLL", "IYOKAN_TK_UNROLL", "IYOKAN_EP",
+                "IYOKAN_TK_LB")),
         )
         hit = _DEVICE_KEY_CACHE.get(cache_key)
         if hit is not None:
@@ -611,7 +612,11 @@ class DeviceKeys:
                 src = ek.bku.reshape(ek.bku.shape[0], 6 * p.l, 2, p.N)
             else:
                 src = ek.bk
-            bkntt = jnp.asarray(polymul.tkey_kernel_key(src, p, L, lay))
+            # asymmetric gadget (see tkey_kernel_key): lb b-part digits
+            lb = int(os.environ.get("IYOKAN_TK_LB", str(p.l)))
+            bkntt = jnp.asarray(
+                polymul.tkey_kernel_key(src, p, L, lay, lb=lb)
+            )
         else:
             bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
         if (os.environ.get("IYOKAN_EP") == "pallas" and be.name == "mxu"

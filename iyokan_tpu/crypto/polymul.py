@@ -1011,7 +1011,7 @@ def tkey_extprod_ref(digits: np.ndarray, slabs: np.ndarray,
 
 
 def tkey_kernel_key(bk_u32: np.ndarray, p: Params, limbs: int = 3,
-                    layout: str = "thin") -> np.ndarray:
+                    layout: str = "thin", lb: int = None) -> np.ndarray:
     """Host: TRGSW rows -> the ops/pallas_tk kernel key layout.
 
     layout="thin": int8 [n, 2l, N, 2*limbs*128] -- one dot per (j, K).
@@ -1024,7 +1024,18 @@ def tkey_kernel_key(bk_u32: np.ndarray, p: Params, limbs: int = 3,
     wraparound sign is baked into the first copy), instead of two
     complementary dots and a subtraction.  The negation happens BEFORE the
     balanced-limb decomposition (a limb of -128 has no int8 negative).
-    Columns are (u, limb, 128) in all layouts."""
+    Columns are (u, limb, 128) in all layouts.
+
+    lb < p.l drops the least-significant b-part gadget rows (asymmetric
+    gadget): the b-part decomposition error enters the phase directly
+    (not via the secret), so 2 digits add only sigma ~ 2^-9.7 against the
+    2^-8.8 bootstrap noise while cutting contraction rows 2l -> l+lb."""
+    if (lb is not None and lb < p.l and bk_u32.ndim == 4
+            and bk_u32.shape[1] == 2 * p.l):
+        bk_u32 = np.concatenate(
+            [bk_u32[:, : p.l], bk_u32[:, p.l : p.l + lb]], axis=1
+        )
+
     def fat(src):
         slab = tkey_prep1(src, p, limbs)       # [n, RR, 2, L, N, 128]
         k = np.transpose(slab, (0, 1, 4, 2, 3, 5))

@@ -59,14 +59,20 @@ i32 = jnp.int32
 i8 = jnp.int8
 
 
-def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
+def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate, lb,
             abar_ref, acca_ref, accb_ref, bk_hbm, outa_ref, outb_ref,
             bk_buf, sems):
     N = p.N
     BG = acca_ref.shape[0]
     NB = N // 128
-    offset = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(p.l))
-    offset += 1 << (31 - p.l * p.Bgbit)
+    ls = (p.l, lb)      # per-part digit counts (asymmetric gadget)
+
+    def round_off(ndig):
+        o = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(ndig))
+        o += 1 << (31 - ndig * p.Bgbit)
+        return u32(o & 0xFFFFFFFF)
+
+    offs = (round_off(p.l), round_off(lb))
     # 2-bit unrolled key: one step consumes a key-bit *pair* via three fused
     # external products (X^(a1 s1 + a2 s2) = 1 + s1(1-s2)(X^a1 - 1)
     # + s2(1-s1)(X^a2 - 1) + s1 s2 (X^(a1+a2) - 1)): 3/4 the matmul MACs of
@@ -74,7 +80,7 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
     # step become (block, m, part, j, 128), matching the bku row order
     # (crypto/host.genevalkey) fed through polymul.tkey_kernel_key.
     M = 3 if unroll else 1
-    RR = M * 2 * p.l
+    RR = M * (p.l + lb)
 
     from ..crypto import ops as cops
 
@@ -113,8 +119,7 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
             else:
                 d0 = cops.rot_poly(a0, r, N) - a0
                 d1 = cops.rot_poly(a1, r, N) - a1
-            xs.append((d0 + u32(offset & 0xFFFFFFFF),
-                       d1 + u32(offset & 0xFFFFFFFF)))
+            xs.append((d0 + offs[0], d1 + offs[1]))
 
         def mm(a, b):
             return jax.lax.dot_general(
@@ -150,7 +155,7 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
                     bb = b - NB if neg else b
                     for m in range(M):
                         for part in range(2):
-                            for j in range(p.l):
+                            for j in range(ls[part]):
                                 w = digit(m, part, j, bb)
                                 pieces.append(-w if neg else w)
                 ext = jnp.concatenate(pieces, axis=-1).astype(i8)
@@ -162,7 +167,7 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
                 d = jnp.stack([digit(m, part, j)
                                for m in range(M)
                                for part in range(2)
-                               for j in range(p.l)], axis=1)  # [BG,RR,N]
+                               for j in range(ls[part])], axis=1)  # [BG,RR,N]
             ext = jnp.concatenate([d, -d], axis=-1).astype(i8)
 
         grp = RR * 128
@@ -211,7 +216,7 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate,
     outb_ref[...] = outb
 
 
-def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains,
+def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
                  abar_ref, acca_ref, accb_ref, bk_hbm, outa_ref, outb_ref,
                  bk_buf, sems):
     """Software-pipelined fat+split kernel: C independent gate chains
@@ -233,10 +238,18 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains,
     C = chains
     BG = acca_ref.shape[0] // C
     NB = N // 128
-    RR = 2 * p.l
-    offset = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(p.l))
-    offset += 1 << (31 - p.l * p.Bgbit)
-    off = u32(offset & 0xFFFFFFFF)
+    # asymmetric gadget: the a part keeps all l digits (its decomposition
+    # error multiplies the secret), the b part keeps lb (error enters the
+    # phase directly) -- see polymul.tkey_kernel_key
+    ls = (p.l, lb)
+    RR = p.l + lb
+
+    def round_off(ndig):
+        o = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(ndig))
+        o += 1 << (31 - ndig * p.Bgbit)
+        return u32(o & 0xFFFFFFFF)
+
+    offs = (round_off(p.l), round_off(lb))
     grp = RR * 128
 
     from ..crypto import ops as cops
@@ -251,10 +264,10 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains,
         """Rotate-diff + gadget decomposition -> interleaved +d digit
         extension [BG, RR*N] i8 (lanes ordered (block, part, j, 128))."""
         if "rot" in ablate:
-            xs = (pa + pa + off, pb + pb + off)
+            xs = (pa + pa + offs[0], pb + pb + offs[1])
         else:
-            xs = (cops.rot_poly(pa, r, N) - pa + off,
-                  cops.rot_poly(pb, r, N) - pb + off)
+            xs = (cops.rot_poly(pa, r, N) - pa + offs[0],
+                  cops.rot_poly(pb, r, N) - pb + offs[1])
         if "decompose" in ablate:
             return jnp.broadcast_to(
                 (xs[0][:, :1].astype(i32) & 31).astype(i8),
@@ -263,7 +276,7 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains,
         for b in range(NB):
             for part in range(2):
                 xp = xs[part][:, 128 * b:128 * (b + 1)]
-                for j in range(p.l):
+                for j in range(ls[part]):
                     sh = 32 - (j + 1) * p.Bgbit
                     w = (((xp >> u32(sh)) & u32(p.Bg - 1)).astype(i32)
                          - p.Bg // 2)
@@ -369,9 +382,11 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains,
 @functools.lru_cache(maxsize=None)
 def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
                fat2: bool = False, ablate: frozenset = frozenset(),
-               ext8: bool = False, chains: int = 2):
+               ext8: bool = False, chains: int = 2, lb: int = None):
+    if lb is None:
+        lb = p.l
     kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2, ablate,
-                               ext8, chains)
+                               ext8, chains, lb)
     part_spec = pl.BlockSpec((chains * BG, p.N), lambda g: (g, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -389,7 +404,8 @@ def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
                    jax.ShapeDtypeStruct((G, p.N), u32)),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, (2 if fat2 else 1) * 2 * p.l * p.N, 2 * L * 128), i8),
+                (2, (2 if fat2 else 1) * (p.l + lb) * p.N, 2 * L * 128),
+                i8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -402,11 +418,13 @@ def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
 @functools.lru_cache(maxsize=None)
 def _call(p: Params, G: int, BG: int, n_steps: int, L: int, fat: bool,
           split: bool, unroll: bool = False, fat2: bool = False,
-          ablate: frozenset = frozenset()):
+          ablate: frozenset = frozenset(), lb: int = None):
+    if lb is None:
+        lb = p.l
     kernel = functools.partial(_kernel, p, n_steps, L, fat, split, unroll,
-                               fat2, ablate)
+                               fat2, ablate, lb)
     M = 3 if unroll else 1
-    RR = M * 2 * p.l
+    RR = M * (p.l + lb)
     bk_scratch = ((2, (2 if fat2 else 1) * RR * p.N, 2 * L * 128) if fat
                   else (2, RR, p.N, 2 * L * 128))
 
@@ -446,8 +464,19 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     from ..crypto import ops as cops
 
     fat = bk_tk.ndim == 3
-    unroll = fat and bk_tk.shape[1] == 6 * p.l * p.N
-    fat2 = fat and bk_tk.shape[1] == 4 * p.l * p.N
+    if fat:
+        # row count encodes layout + gadget asymmetry:
+        # 3*2l = unrolled, 2*(l+lb) = fat2 (doubled slab), l+lb = fat
+        rr = bk_tk.shape[1] // p.N
+        unroll = rr == 6 * p.l
+        # plain fat rr = l+lb <= 2l; doubled slab (fat2) rr = 2(l+lb) > 2l
+        fat2 = not unroll and rr > 2 * p.l
+        lb = p.l if unroll else (rr // 2 if fat2 else rr) - p.l
+    else:
+        rr = bk_tk.shape[1]
+        unroll = False
+        fat2 = False
+        lb = rr - p.l
     L = bk_tk.shape[-1] // 256
     if block_g is None:
         block_g = int(os.environ.get("IYOKAN_PALLAS_BG", "512"))
@@ -499,8 +528,8 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
             [rows, jnp.zeros((1, Gp), rows.dtype)], axis=0)
         ext8 = os.environ.get("IYOKAN_TK_EXT8", "0") == "1"
         outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate, ext8,
-                                chains)(rows, acc_a, acc_b, bk_tk)
+                                chains, lb)(rows, acc_a, acc_b, bk_tk)
         return jnp.stack([outa, outb], axis=1)[:G]
     outa, outb = _call(p, Gp, BG, n_steps, L, fat, split, unroll,
-                       fat2, ablate)(rows, acc_a, acc_b, bk_tk)
+                       fat2, ablate, lb)(rows, acc_a, acc_b, bk_tk)
     return jnp.stack([outa, outb], axis=1)[:G]

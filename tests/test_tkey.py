@@ -197,3 +197,33 @@ def test_tkey_gate_bootstrap_truth_tables(toy, toy_sk, toy_dk, toy_ek, rng):
                 f"{gates.NAMES[kind]}({a},{b}) = {got[i]}, want {want}"
             )
             i += 1
+
+
+def test_tkey_asymmetric_gadget_gates(toy, toy_sk, toy_ek, rng, monkeypatch):
+    """lb=2 asymmetric slab (5 contraction rows instead of 6): the b-part
+    decomposition error enters the phase directly (~2^-9.7 sigma at
+    cggi128), so decrypted gate results stay correct."""
+    import jax.numpy as jnp
+    from iyokan_tpu import gates as G
+    from iyokan_tpu.crypto import host, ops, polymul
+    from iyokan_tpu.ops import pallas_tk
+
+    p = toy
+    bk_tk = jnp.asarray(polymul.tkey_kernel_key(toy_ek.bk, p, 4, "fat", lb=2))
+    a = np.array([0, 0, 1, 1] * 4, np.uint8)
+    b = np.array([0, 1, 0, 1] * 4, np.uint8)
+    A = jnp.asarray(host.encrypt_bits(toy_sk, a, rng))
+    B = jnp.asarray(host.encrypt_bits(toy_sk, b, rng))
+    ca, cb, kk = G.GATE_LIN[G.NAND]
+    pre = ops.gate_linear(A, B, jnp.full((16,), ca, jnp.int32),
+                          jnp.full((16,), cb, jnp.int32),
+                          jnp.full((16,), kk, jnp.int32), p)
+    for pipe in ("0", "1"):
+        monkeypatch.setenv("IYOKAN_TK_PIPE", pipe)
+        monkeypatch.setenv("IYOKAN_PALLAS_BG", "8")
+        testv = jnp.full((p.N,), np.uint32(p.mu))
+        tr = pallas_tk.blind_rotate_tkey(pre, bk_tk, testv, p)
+        ph = host.trlwe1_phase(toy_sk, np.asarray(tr))[:, 0]
+        got = (np.asarray(ph) < (1 << 31)).astype(np.uint8)
+        np.testing.assert_array_equal(got, 1 - (a & b),
+                                      err_msg=f"pipe={pipe}")

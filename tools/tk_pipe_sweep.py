@@ -31,7 +31,6 @@ def main():
     t0 = time.time()
     sk = host.keygen(p, seed=0)
     ek = host.genevalkey(sk, seed=1, with_cb=False)
-    keys = ops.DeviceKeys.from_evalkey(ek, with_cb=False)
     print(f"# keygen {time.time()-t0:.1f}s", flush=True)
 
     rng = np.random.default_rng(2)
@@ -45,6 +44,9 @@ def main():
             else:
                 os.environ[k] = v
         try:
+            # key prep reads IYOKAN_TK_* at build time; the fingerprint
+            # cache keys on the env so each variant gets the right slab
+            keys = ops.DeviceKeys.from_evalkey(ek, with_cb=False)
             bits = rng.integers(0, 2, G, dtype=np.uint8)
             tl = jnp.asarray(host.encrypt_bits(sk, bits, rng))
 
@@ -92,6 +94,10 @@ def main():
         {"IYOKAN_TK_CHAINS": "4", "IYOKAN_PALLAS_BG": "256"})
     run("pipe 3 chains BG=512", 1536, {"IYOKAN_TK_CHAINS": "3"})
     run("pipe 4 chains BG=512", 2048, {"IYOKAN_TK_CHAINS": "4"})
+    run("pipe lb=2 asymmetric gadget", 1024, {"IYOKAN_TK_LB": "2"})
+    run("pipe lb=2 + 4 chains BG=256", 1024,
+        {"IYOKAN_TK_LB": "2", "IYOKAN_TK_CHAINS": "4",
+         "IYOKAN_PALLAS_BG": "256"})
 
 
 if __name__ == "__main__":
