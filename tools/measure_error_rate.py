@@ -101,6 +101,9 @@ def main():
         "threshold": 1 / 16,
         "margin_sigmas": (1 / 16) / sigma,
         "backend": jax.default_backend(),
+        # gadget/kernel config under test (asymmetric gadget etc.)
+        "env": {k: v for k, v in os.environ.items()
+                if k.startswith("IYOKAN_")},
     }
     with open(out_path, "w") as f:
         json.dump(rec, f, indent=1)
