@@ -98,6 +98,12 @@ def main():
     run("pipe lb=2 + 4 chains BG=256", 1024,
         {"IYOKAN_TK_LB": "2", "IYOKAN_TK_CHAINS": "4",
          "IYOKAN_PALLAS_BG": "256"})
+    # small (latency-bound) batches: diamond levels average ~90 gates.
+    # bk_for routes <= IYOKAN_UNROLL_MAX to the unrolled NTT key; forcing
+    # it to 0 exposes the tkey serial kernel at the same sizes.
+    for g in (16, 64, 256):
+        run(f"small G={g} default (bku NTT path)", g, {})
+        run(f"small G={g} tkey serial", g, {"IYOKAN_UNROLL_MAX": "0"})
 
 
 if __name__ == "__main__":
