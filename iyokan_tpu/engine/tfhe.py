@@ -56,11 +56,15 @@ class TFHEEngine:
         # jitted entry points take the keys as arguments (pytree), never as
         # closure constants -- see DeviceKeys.
         #
-        # The combinational sweep is one jitted call *per level*, with the
-        # batch padded to a power-of-two bucket: the expensive blind-rotate
-        # graph then compiles once per bucket size and is reused across
-        # levels and cycles (a whole-settle jit would instantiate a separate
-        # 635-step loop for every level -- impractical compile times).
+        # The combinational sweep is one jitted call *per level* (or per
+        # fused group of levels), with the batch padded to a power-of-two
+        # bucket: the expensive blind-rotate graph then compiles once per
+        # bucket size and is reused across levels and cycles.  On runtimes
+        # with a high fixed per-dispatch cost the whole cycle can instead
+        # be traced as ONE call (IYOKAN_FUSE_LEVELS=all, _cycle_fn): that
+        # instantiates a separate rotation loop per level group in the
+        # HLO -- a one-time compile-size cost -- but drops the per-cycle
+        # dispatch count to one.
         self._level_fns = {}
         self._mem_fns = {}
         self._padded_plans = [self._pad_plan(pl_) for pl_ in compiled.levels]
@@ -230,6 +234,46 @@ class TFHEEngine:
         flush()
         self._groups = groups
         return groups
+
+    def _cycle_fn(self, ram_names: tuple, rom_names: tuple):
+        """ONE jitted call for the entire combinational sweep + RAM write.
+
+        Inlines every level group, the per-level memory reads (shared CB,
+        ROM/RAM trees) and the fused RAM write into a single traced
+        function of (keys, vals, ram_stores, rom_stores).  Each level
+        group's rotation loop becomes its own instance in the HLO, so the
+        one-time compile is larger; per cycle the runtime sees a single
+        dispatch (the per-call overhead through a remote/attached runtime
+        is ~tens of ms, see settle)."""
+        key = ("cycle", ram_names, rom_names)
+        if key not in self._mem_fns:
+            # grouping granularity is irrelevant inside one trace (any
+            # cached partition works); maximal groups if none cached yet
+            groups = self._group_plans(10**9)
+
+            def fn(keys, vals, ram_vals, rom_vals):
+                rams = dict(zip(ram_names, ram_vals))
+                roms = dict(zip(rom_names, rom_vals))
+                ram_sel: Dict[str, jnp.ndarray] = {}
+                for entry in groups:
+                    if entry[0] == "group":
+                        _, sig, flat, _n = entry
+                        vals = self._group_fn(sig)(keys, vals, *flat)
+                    else:
+                        vals = self._mem_level(keys, vals, rams, roms,
+                                               entry[1], ram_sel)
+                if ram_names:
+                    outs = self._ram_write_all(
+                        ram_names, keys, vals,
+                        tuple(rams[n] for n in ram_names),
+                        tuple(ram_sel[n] for n in ram_names),
+                    )
+                else:
+                    outs = ()
+                return vals, outs
+
+            self._mem_fns[key] = jax.jit(fn)
+        return self._mem_fns[key]
 
     def _simple_fn(self):
         """NOT gates + copies of a level (cheap, one shared jit)."""
@@ -541,7 +585,18 @@ class TFHEEngine:
         keys = self.keys
         ram_sel: Dict[str, jnp.ndarray] = {}
 
-        fuse = int(os.environ.get("IYOKAN_FUSE_LEVELS", "8"))
+        fuse_env = os.environ.get("IYOKAN_FUSE_LEVELS", "8")
+        if fuse_env == "all" and not sync and progress is None:
+            # whole-cycle fusion: one dispatch for sweep + RAM write
+            ram_names = tuple(sorted(rams))
+            rom_names = tuple(sorted(roms))
+            vals, outs = self._cycle_fn(ram_names, rom_names)(
+                keys, vals,
+                tuple(rams[n] for n in ram_names),
+                tuple(roms[n] for n in rom_names),
+            )
+            return vals, dict(zip(ram_names, outs))
+        fuse = 8 if fuse_env == "all" else int(fuse_env)
         if not sync and progress is None and fuse > 1:
             # fused fast path: one dispatch per group of gate-only levels
             for entry in self._group_plans(fuse):

@@ -99,3 +99,38 @@ def test_settle_stage_breakdown(toy_sk, toy_ek):
     # the instrumented sweep computes the same values as the plain sweep
     vals2, _ = fe.engine.settle(fe.vals, fe.rams, fe.roms)
     np.testing.assert_array_equal(np.asarray(vals), np.asarray(vals2))
+
+
+def test_whole_cycle_fusion_matches(toy_sk, toy_ek, monkeypatch):
+    """IYOKAN_FUSE_LEVELS=all: the entire sweep + RAM write runs as ONE
+    jitted call (TFHEEngine._cycle_fn) and produces the same results as
+    the per-level path on a circuit exercising gates + CMUX RAM."""
+    monkeypatch.setenv("IYOKAN_FUSE_LEVELS", "all")
+    ram_bits = np.zeros(4 * 4, np.uint8)
+    ram_bits[3 * 4 : 4 * 4] = [1, 1, 1, 1]
+    req = packet_mod.PlainPacket(
+        ram={"ramA": ram_bits},
+        bits={
+            "addr": np.array([0, 1, 1, 1], np.uint8),
+            "wren": np.array([1, 0], np.uint8),
+            "wdata": np.array([1, 1, 0, 1, 0, 0, 0, 0], np.uint8),
+        },
+    )
+    bp_path = os.path.join(DATA, "tiny-ram.toml")
+    got = run_tfhe(bp_path, req, 2, toy_sk, toy_ek)
+    want = run_plain(bp_path, req, 2)
+    assert normalize(got) == normalize(want)
+    np.testing.assert_array_equal(got.bits["rdata"], [1, 1, 1, 1])
+    np.testing.assert_array_equal(got.ram["ramA"][2 * 4 : 3 * 4], [1, 1, 0, 1])
+
+
+def test_whole_cycle_fusion_rom(toy_sk, toy_ek, monkeypatch):
+    monkeypatch.setenv("IYOKAN_FUSE_LEVELS", "all")
+    rom_bits = np.random.default_rng(3).integers(0, 2, 8 * 8, dtype=np.uint8)
+    req = packet_mod.PlainPacket(
+        rom={"rom": rom_bits},
+        bits={"addr": np.array([1, 0, 1], np.uint8)},
+    )
+    bp_path = os.path.join(DATA, "tiny-rom.toml")
+    got = run_tfhe(bp_path, req, 1, toy_sk, toy_ek)
+    np.testing.assert_array_equal(got.bits["rdata"], rom_bits[5 * 8:6 * 8])
