@@ -206,6 +206,7 @@ class Frontend:
         """@input ports fed from packet bit streams
         (reference src/iyokan_plain.cpp:270-292)."""
         streams = self.req.bits
+        nodes, rows = [], []
         for (name, bit), port in self.bp.at_ports.items():
             if port.kind != "input":
                 continue
@@ -216,10 +217,13 @@ class Frontend:
             stream = streams[name]
             width = self.bp.at_port_widths[name]
             index = (width * cycle + bit) % len(stream)
-            node = _resolve(self.design, port)
-            self.vals = self.engine.set_nodes(
-                self.vals, [node], stream[index : index + 1]
-            )
+            nodes.append(_resolve(self.design, port))
+            rows.append(stream[index])
+        if nodes:
+            # one batched scatter (a set_nodes per bit would pay the fixed
+            # dispatch cost once per input wire per cycle)
+            self.vals = self.engine.set_nodes(self.vals, nodes,
+                                              np.asarray(rows))
 
     def _reset_node(self) -> Optional[int]:
         port = self.bp.at("reset")
