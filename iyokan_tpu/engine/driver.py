@@ -19,6 +19,7 @@ TLWE ciphertexts).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, Optional
 
@@ -225,6 +226,26 @@ class Frontend:
             self.vals = self.engine.set_nodes(self.vals, nodes,
                                               np.asarray(rows))
 
+    def _circular_input_rows(self, start: int, k: int):
+        """Input nodes + their next k cycles of circular stream rows
+        (u32 [k, n_in, n+1]), for the multi-cycle scan path."""
+        streams = self.req.bits
+        ports = []
+        for (name, bit), port in self.bp.at_ports.items():
+            if port.kind != "input" or name not in streams:
+                continue
+            if name == "reset":
+                raise ValueError("@reset cannot be set by user's input")
+            ports.append((_resolve(self.design, port), streams[name],
+                          self.bp.at_port_widths[name], bit))
+        nodes = [pt[0] for pt in ports]
+        width1 = self.vals.shape[1]
+        rows = np.zeros((k, len(ports), width1), np.uint32)
+        for j, (_, stream, width, bit) in enumerate(ports):
+            for c in range(k):
+                rows[c, j] = stream[(width * (start + c) + bit) % len(stream)]
+        return nodes, rows
+
     def _reset_node(self) -> Optional[int]:
         port = self.bp.at("reset")
         if port is None or port.kind != "input":
@@ -255,8 +276,50 @@ class Frontend:
             should_negate = True
 
         finflag_port = self.bp.at("finflag")
+        # multi-cycle scan: with whole-cycle fusion on and no per-cycle
+        # observation requested, every cycle past the first runs inside
+        # ONE lax.scan dispatch (engine.run_cycles)
+        can_scan = (
+            self.mode == "tfhe"
+            and os.environ.get("IYOKAN_FUSE_LEVELS") == "all"
+            and dump_prefix is None
+            and not stdout_csv
+            and dump_time_csv_prefix is None
+            and not show_combinational_progress
+            and on_cycle is None
+        )
         i = 0
         while num_cycles < 0 or i < num_cycles:
+            remaining = num_cycles - i
+            if can_scan and remaining > 1 and self.current_cycle != 0:
+                log.info("#%d..#%d (scanned)", self.current_cycle + 1,
+                         self.current_cycle + remaining)
+                t0 = time.time()
+                nodes, rows = self._circular_input_rows(
+                    self.current_cycle, remaining
+                )
+                self.vals, self.rams = eng.run_cycles(
+                    self.vals, self.rams, self.roms, nodes, rows
+                )
+                eng.block_until_ready(self.vals)
+                log.info("\tdone. (%d us)",
+                         int((time.time() - t0) * 1e6))
+                if dump_graph_json_prefix or dump_graph_dot_prefix:
+                    from . import progress
+
+                    for c in range(self.current_cycle,
+                                   self.current_cycle + remaining):
+                        if dump_graph_json_prefix:
+                            with open(f"{dump_graph_json_prefix}-{c}.json",
+                                      "w") as f:
+                                progress.dump_graph_json(self.compiled, f)
+                        if dump_graph_dot_prefix:
+                            with open(f"{dump_graph_dot_prefix}-{c}.dot",
+                                      "w") as f:
+                                progress.dump_graph_dot(self.compiled, f)
+                i += remaining
+                self.current_cycle += remaining
+                continue
             log.info("#%d", self.current_cycle + 1)
             if stdout_csv:
                 print(f"{time.time()},start,{self.current_cycle + 1}",

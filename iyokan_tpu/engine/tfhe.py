@@ -275,6 +275,72 @@ class TFHEEngine:
             self._mem_fns[key] = jax.jit(fn)
         return self._mem_fns[key]
 
+    def _scan_fn(self, ram_names: tuple, rom_names: tuple, in_nodes: tuple):
+        """jitted lax.scan over whole cycles (see run_cycles)."""
+        key = ("scan", ram_names, rom_names, in_nodes)
+        if key not in self._mem_fns:
+            groups = self._group_plans(10**9)
+            idx = (np.asarray(in_nodes, np.int32) if in_nodes else None)
+
+            def fn(keys, vals, ram_vals, rom_vals, in_rows):
+                roms = dict(zip(rom_names, rom_vals))
+
+                def body(carry, rows):
+                    vals, ram_vals = carry
+                    vals = self._tick_impl(vals)
+                    if idx is not None:
+                        vals = vals.at[idx].set(rows)
+                    rams = dict(zip(ram_names, ram_vals))
+                    ram_sel: Dict[str, jnp.ndarray] = {}
+                    for entry in groups:
+                        if entry[0] == "group":
+                            _, sig, flat, _n = entry
+                            vals = self._group_fn(sig)(keys, vals, *flat)
+                        else:
+                            vals = self._mem_level(keys, vals, rams, roms,
+                                                   entry[1], ram_sel)
+                    if ram_names:
+                        outs = self._ram_write_all(
+                            ram_names, keys, vals,
+                            tuple(rams[n] for n in ram_names),
+                            tuple(ram_sel[n] for n in ram_names),
+                        )
+                    else:
+                        outs = ()
+                    return (vals, outs), None
+
+                (vals, ram_vals), _ = jax.lax.scan(
+                    body, (vals, ram_vals), in_rows
+                )
+                return vals, ram_vals
+
+            self._mem_fns[key] = jax.jit(fn)
+        return self._mem_fns[key]
+
+    def run_cycles(self, vals, rams, roms, in_nodes, in_rows):
+        """Run k = len(in_rows) full cycles (tick -> input scatter ->
+        combinational sweep -> RAM write) as ONE dispatch via lax.scan.
+
+        The scan body is the same traced cycle as _cycle_fn, so the
+        compiled size is one cycle regardless of k; the per-cycle host
+        round-trip disappears entirely (the reference's frontend loops on
+        the host per cycle, src/iyokan_plain.cpp:270-292 -- here the whole
+        multi-cycle run is a single device program).
+
+        in_nodes: node ids receiving circular inputs each cycle;
+        in_rows: u32 [k, len(in_nodes), n+1] ciphertext rows.
+        """
+        ram_names = tuple(sorted(rams))
+        rom_names = tuple(sorted(roms))
+        fn = self._scan_fn(ram_names, rom_names, tuple(in_nodes))
+        vals, ram_vals = fn(
+            self.keys, vals,
+            tuple(rams[n] for n in ram_names),
+            tuple(roms[n] for n in rom_names),
+            jnp.asarray(np.asarray(in_rows, np.uint32)),
+        )
+        return vals, dict(zip(ram_names, ram_vals))
+
     def _simple_fn(self):
         """NOT gates + copies of a level (cheap, one shared jit)."""
         if "simple" not in self._level_fns:

@@ -134,3 +134,37 @@ def test_whole_cycle_fusion_rom(toy_sk, toy_ek, monkeypatch):
     bp_path = os.path.join(DATA, "tiny-rom.toml")
     got = run_tfhe(bp_path, req, 1, toy_sk, toy_ek)
     np.testing.assert_array_equal(got.bits["rdata"], rom_bits[5 * 8:6 * 8])
+
+
+def test_multi_cycle_scan_counter(toy_sk, toy_ek, monkeypatch):
+    """With whole-cycle fusion on, cycles past the first run inside one
+    lax.scan dispatch (driver scan path + engine.run_cycles); results
+    match the plain engine over a multi-cycle run with DFF state."""
+    monkeypatch.setenv("IYOKAN_FUSE_LEVELS", "all")
+    req = packet_mod.PlainPacket.from_toml_file(fixture("in/test13.in"))
+    bp_path = fixture("config-toml/counter-4bit.toml")
+    got = run_tfhe(bp_path, req, 3, toy_sk, toy_ek)
+    want = run_plain(bp_path, req, 3)
+    assert normalize(got) == normalize(want)
+
+
+def test_multi_cycle_scan_ram_and_inputs(toy_sk, toy_ek, monkeypatch):
+    """Scan path with circular inputs changing per cycle and RAM state
+    carried through the scan (write cycle 0, read cycles 1-2)."""
+    monkeypatch.setenv("IYOKAN_FUSE_LEVELS", "all")
+    ram_bits = np.zeros(4 * 4, np.uint8)
+    ram_bits[3 * 4 : 4 * 4] = [1, 1, 1, 1]
+    req = packet_mod.PlainPacket(
+        ram={"ramA": ram_bits},
+        bits={
+            "addr": np.array([0, 1, 1, 1, 0, 1], np.uint8),  # 2, 3, 2
+            "wren": np.array([1, 0, 0], np.uint8),
+            "wdata": np.array([1, 1, 0, 1] + [0] * 8, np.uint8),
+        },
+    )
+    bp_path = os.path.join(DATA, "tiny-ram.toml")
+    got = run_tfhe(bp_path, req, 3, toy_sk, toy_ek)
+    want = run_plain(bp_path, req, 3)
+    assert normalize(got) == normalize(want)
+    # cycle 2 reads back address 2 = the value written on cycle 0
+    np.testing.assert_array_equal(got.bits["rdata"], [1, 1, 0, 1])
