@@ -288,15 +288,23 @@ class Frontend:
             and not show_combinational_progress
             and on_cycle is None
         )
+        # scan chunk: cycles are scanned in fixed-size spans so the scan
+        # program compiles ONCE and is reused across spans and runs (the
+        # scan length is part of the traced shape); "max" scans the whole
+        # remainder in one dispatch at the cost of a per-length compile
+        chunk_env = os.environ.get("IYOKAN_SCAN_CHUNK", "4")
         i = 0
         while num_cycles < 0 or i < num_cycles:
             remaining = num_cycles - i
-            if can_scan and remaining > 1 and self.current_cycle != 0:
+            chunk = remaining if chunk_env == "max" else int(chunk_env)
+            span = min(chunk, remaining)
+            if can_scan and span > 1 and remaining >= chunk \
+                    and self.current_cycle != 0:
                 log.info("#%d..#%d (scanned)", self.current_cycle + 1,
-                         self.current_cycle + remaining)
+                         self.current_cycle + span)
                 t0 = time.time()
                 nodes, rows = self._circular_input_rows(
-                    self.current_cycle, remaining
+                    self.current_cycle, span
                 )
                 self.vals, self.rams = eng.run_cycles(
                     self.vals, self.rams, self.roms, nodes, rows
@@ -308,7 +316,7 @@ class Frontend:
                     from . import progress
 
                     for c in range(self.current_cycle,
-                                   self.current_cycle + remaining):
+                                   self.current_cycle + span):
                         if dump_graph_json_prefix:
                             with open(f"{dump_graph_json_prefix}-{c}.json",
                                       "w") as f:
@@ -317,8 +325,8 @@ class Frontend:
                             with open(f"{dump_graph_dot_prefix}-{c}.dot",
                                       "w") as f:
                                 progress.dump_graph_dot(self.compiled, f)
-                i += remaining
-                self.current_cycle += remaining
+                i += span
+                self.current_cycle += span
                 continue
             log.info("#%d", self.current_cycle + 1)
             if stdout_csv:

@@ -141,6 +141,7 @@ def test_multi_cycle_scan_counter(toy_sk, toy_ek, monkeypatch):
     lax.scan dispatch (driver scan path + engine.run_cycles); results
     match the plain engine over a multi-cycle run with DFF state."""
     monkeypatch.setenv("IYOKAN_FUSE_LEVELS", "all")
+    monkeypatch.setenv("IYOKAN_SCAN_CHUNK", "2")
     req = packet_mod.PlainPacket.from_toml_file(fixture("in/test13.in"))
     bp_path = fixture("config-toml/counter-4bit.toml")
     got = run_tfhe(bp_path, req, 3, toy_sk, toy_ek)
@@ -152,6 +153,7 @@ def test_multi_cycle_scan_ram_and_inputs(toy_sk, toy_ek, monkeypatch):
     """Scan path with circular inputs changing per cycle and RAM state
     carried through the scan (write cycle 0, read cycles 1-2)."""
     monkeypatch.setenv("IYOKAN_FUSE_LEVELS", "all")
+    monkeypatch.setenv("IYOKAN_SCAN_CHUNK", "2")
     ram_bits = np.zeros(4 * 4, np.uint8)
     ram_bits[3 * 4 : 4 * 4] = [1, 1, 1, 1]
     req = packet_mod.PlainPacket(
