@@ -203,32 +203,11 @@ class Frontend:
                     ]
                     self.vals = eng.set_nodes(self.vals, nodes, data)
 
-    def _set_circular_inputs(self, cycle: int):
-        """@input ports fed from packet bit streams
+    def _circular_input_ports(self):
+        """(node, stream, width, bit) for every @input port fed from the
+        request packet -- the one definition of circular-input iteration
+        shared by the per-cycle scatter and the multi-cycle scan
         (reference src/iyokan_plain.cpp:270-292)."""
-        streams = self.req.bits
-        nodes, rows = [], []
-        for (name, bit), port in self.bp.at_ports.items():
-            if port.kind != "input":
-                continue
-            if name not in streams:
-                continue
-            if name == "reset":
-                raise ValueError("@reset cannot be set by user's input")
-            stream = streams[name]
-            width = self.bp.at_port_widths[name]
-            index = (width * cycle + bit) % len(stream)
-            nodes.append(_resolve(self.design, port))
-            rows.append(stream[index])
-        if nodes:
-            # one batched scatter (a set_nodes per bit would pay the fixed
-            # dispatch cost once per input wire per cycle)
-            self.vals = self.engine.set_nodes(self.vals, nodes,
-                                              np.asarray(rows))
-
-    def _circular_input_rows(self, start: int, k: int):
-        """Input nodes + their next k cycles of circular stream rows
-        (u32 [k, n_in, n+1]), for the multi-cycle scan path."""
         streams = self.req.bits
         ports = []
         for (name, bit), port in self.bp.at_ports.items():
@@ -238,6 +217,24 @@ class Frontend:
                 raise ValueError("@reset cannot be set by user's input")
             ports.append((_resolve(self.design, port), streams[name],
                           self.bp.at_port_widths[name], bit))
+        return ports
+
+    def _set_circular_inputs(self, cycle: int):
+        """Feed one cycle's circular inputs as one batched scatter (a
+        set_nodes per bit would pay the fixed dispatch cost once per
+        input wire per cycle)."""
+        ports = self._circular_input_ports()
+        if ports:
+            rows = [stream[(width * cycle + bit) % len(stream)]
+                    for _, stream, width, bit in ports]
+            self.vals = self.engine.set_nodes(
+                self.vals, [pt[0] for pt in ports], np.asarray(rows)
+            )
+
+    def _circular_input_rows(self, start: int, k: int):
+        """Input nodes + their next k cycles of circular stream rows
+        (u32 [k, n_in, n+1]), for the multi-cycle scan path."""
+        ports = self._circular_input_ports()
         nodes = [pt[0] for pt in ports]
         width1 = self.vals.shape[1]
         rows = np.zeros((k, len(ports), width1), np.uint32)
@@ -282,6 +279,7 @@ class Frontend:
         can_scan = (
             self.mode == "tfhe"
             and os.environ.get("IYOKAN_FUSE_LEVELS") == "all"
+            and not os.environ.get("IYOKAN_PROFILE")
             and dump_prefix is None
             and not stdout_csv
             and dump_time_csv_prefix is None
@@ -296,8 +294,11 @@ class Frontend:
         i = 0
         while num_cycles < 0 or i < num_cycles:
             remaining = num_cycles - i
-            chunk = remaining if chunk_env == "max" else int(chunk_env)
-            span = min(chunk, remaining)
+            if can_scan:
+                chunk = remaining if chunk_env == "max" else int(chunk_env)
+                span = min(chunk, remaining)
+            else:
+                chunk = span = 0
             if can_scan and span > 1 and remaining >= chunk \
                     and self.current_cycle != 0:
                 log.info("#%d..#%d (scanned)", self.current_cycle + 1,

@@ -235,6 +235,31 @@ class TFHEEngine:
         self._groups = groups
         return groups
 
+    def _sweep_body(self, groups, ram_names, keys, vals, rams, roms):
+        """The traced combinational sweep + RAM write shared by the
+        single-trace execution modes (_cycle_fn, _scan_fn): level groups,
+        per-level memory reads (shared CB, ROM/RAM trees), then the fused
+        RAM write.  Returns (vals, ram_outs_tuple).  settle's eager
+        group-fused path keeps its own loop so the RAM write stays behind
+        its jitted wrapper (_ram_write_fn)."""
+        ram_sel: Dict[str, jnp.ndarray] = {}
+        for entry in groups:
+            if entry[0] == "group":
+                _, sig, flat, _n = entry
+                vals = self._group_fn(sig)(keys, vals, *flat)
+            else:
+                vals = self._mem_level(keys, vals, rams, roms,
+                                       entry[1], ram_sel)
+        if ram_names:
+            outs = self._ram_write_all(
+                ram_names, keys, vals,
+                tuple(rams[n] for n in ram_names),
+                tuple(ram_sel[n] for n in ram_names),
+            )
+        else:
+            outs = ()
+        return vals, outs
+
     def _cycle_fn(self, ram_names: tuple, rom_names: tuple):
         """ONE jitted call for the entire combinational sweep + RAM write.
 
@@ -252,25 +277,11 @@ class TFHEEngine:
             groups = self._group_plans(10**9)
 
             def fn(keys, vals, ram_vals, rom_vals):
-                rams = dict(zip(ram_names, ram_vals))
-                roms = dict(zip(rom_names, rom_vals))
-                ram_sel: Dict[str, jnp.ndarray] = {}
-                for entry in groups:
-                    if entry[0] == "group":
-                        _, sig, flat, _n = entry
-                        vals = self._group_fn(sig)(keys, vals, *flat)
-                    else:
-                        vals = self._mem_level(keys, vals, rams, roms,
-                                               entry[1], ram_sel)
-                if ram_names:
-                    outs = self._ram_write_all(
-                        ram_names, keys, vals,
-                        tuple(rams[n] for n in ram_names),
-                        tuple(ram_sel[n] for n in ram_names),
-                    )
-                else:
-                    outs = ()
-                return vals, outs
+                return self._sweep_body(
+                    groups, ram_names, keys, vals,
+                    dict(zip(ram_names, ram_vals)),
+                    dict(zip(rom_names, rom_vals)),
+                )
 
             self._mem_fns[key] = jax.jit(fn)
         return self._mem_fns[key]
@@ -290,23 +301,10 @@ class TFHEEngine:
                     vals = self._tick_impl(vals)
                     if idx is not None:
                         vals = vals.at[idx].set(rows)
-                    rams = dict(zip(ram_names, ram_vals))
-                    ram_sel: Dict[str, jnp.ndarray] = {}
-                    for entry in groups:
-                        if entry[0] == "group":
-                            _, sig, flat, _n = entry
-                            vals = self._group_fn(sig)(keys, vals, *flat)
-                        else:
-                            vals = self._mem_level(keys, vals, rams, roms,
-                                                   entry[1], ram_sel)
-                    if ram_names:
-                        outs = self._ram_write_all(
-                            ram_names, keys, vals,
-                            tuple(rams[n] for n in ram_names),
-                            tuple(ram_sel[n] for n in ram_names),
-                        )
-                    else:
-                        outs = ()
+                    vals, outs = self._sweep_body(
+                        groups, ram_names, keys, vals,
+                        dict(zip(ram_names, ram_vals)), roms,
+                    )
                     return (vals, outs), None
 
                 (vals, ram_vals), _ = jax.lax.scan(

@@ -113,9 +113,12 @@ class Runner:
             self.add_tfhe(name, blueprint, in_file, out_file, ncycles,
                           tags=tfhe_tags)
 
+    def select(self, tags):
+        return [t for t in self.tests
+                if all(tag in t["tags"] for tag in tags)]
+
     def run(self, tags, repeat):
-        sel = [t for t in self.tests
-               if all(tag in t["tags"] for tag in tags)]
+        sel = self.select(tags)
         print(f"[{len(sel)} TESTS SELECTED ({tags})] "
               + ", ".join(t["name"] for t in sel))
         failed = []
@@ -322,10 +325,31 @@ def main():
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
+    # registry runs are compile-dominated (16 distinct circuits, few
+    # cycles each): per-level dispatch shares the bucketed bootstrap
+    # graphs across levels and circuits, while level-group fusion would
+    # compile a distinct graph per circuit's group signature.  An
+    # explicit env still wins.
+    os.environ.setdefault("IYOKAN_FUSE_LEVELS", "1")
+
     wd = args.workdir or tempfile.mkdtemp(prefix="iyokan-tests-")
     os.makedirs(wd, exist_ok=True)
     r = Runner(wd, args.params)
     register(r)
+
+    # plain-only selections have no business on the accelerator (and the
+    # ambient env may pin a remote TPU tunnel): steer to CPU before the
+    # first jax use.  tfhe selections keep the ambient platform.
+    sel = r.select(args.tags)
+    if sel and all(t["name"].startswith("plain-") for t in sel):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            print("(plain-only selection: running on cpu)")
+        except Exception:  # noqa: BLE001 - backend already initialized
+            pass
+
     failed = r.run(args.tags, args.repeat)
     if failed:
         print("FAILED:", ", ".join(failed))
