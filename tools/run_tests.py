@@ -323,6 +323,10 @@ def main():
     ap.add_argument("--params", default="cggi128")
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--platform", default=None, choices=("cpu", "ambient"),
+                    help="force the jax platform (cpu: e.g. toy-params "
+                         "tfhe runs on a dev box; default: cpu for "
+                         "plain-only selections, ambient otherwise)")
     args = ap.parse_args()
 
     # registry runs are compile-dominated (16 distinct circuits, few
@@ -341,12 +345,16 @@ def main():
     # ambient env may pin a remote TPU tunnel): steer to CPU before the
     # first jax use.  tfhe selections keep the ambient platform.
     sel = r.select(args.tags)
-    if sel and all(t["name"].startswith("plain-") for t in sel):
+    want_cpu = (args.platform == "cpu" or (
+        args.platform is None and sel
+        and all(t["name"].startswith("plain-") for t in sel)
+    ))
+    if want_cpu:
         import jax
 
         try:
             jax.config.update("jax_platforms", "cpu")
-            print("(plain-only selection: running on cpu)")
+            print("(running on cpu)")
         except Exception:  # noqa: BLE001 - backend already initialized
             pass
 
