@@ -5,31 +5,101 @@ full TFHE gate bootstrap (linear combine -> 635-step blind rotation over
 N=1024 polynomials -> sample extract -> key switch to lvl0) -- at 128-bit
 parameters, batched over the gate axis.
 
-Prints ONE JSON line:
+Always prints a final JSON line (the driver's record), even on failure:
   {"metric": "gate_bootstraps_per_sec", "value": ..., "unit": "gates/s",
-   "vs_baseline": ...}
+   "vs_baseline": ..., "config": {...}}
 vs_baseline is against 10_000 gates/s, the order of cuFHE's published V100
-gate-bootstrap throughput (the reference's GPU backend; BASELINE.md target is
->= 10x that on TPU).
+gate-bootstrap throughput (the reference's GPU backend,
+reference src/iyokan_cufhe.hpp:207-262; BASELINE.md target is >= 10x on TPU).
 
-Env knobs: BENCH_G (batch size), BENCH_REPS, BENCH_PARAMS; the blind-rotate
-implementation follows the engine default (Toeplitz-slab matmul kernel on
-TPU; override with IYOKAN_BR_IMPL / IYOKAN_TK_LAYOUT).
+When the reference fixtures are present it ALSO emits (before the headline
+line) the second north-star metric -- the encrypted cahp-diamond CPU:
+  {"metric": "diamond_sec_per_cycle", "value": ..., "unit": "s/cycle", ...}
+
+Robustness: the TPU tunnel ("axon") init fails transiently (round 2's
+BENCH artifact recorded exactly that crash), and jax caches a failed
+backend init for the process lifetime -- so the first device touch happens
+in a retried SUBPROBE subprocess, and the measurement only starts once a
+probe has succeeded.
+
+Env knobs: BENCH_G (batch size), BENCH_REPS, BENCH_PARAMS, BENCH_DIAMOND=0
+(skip the diamond line), BENCH_DIAMOND_TIMEOUT, BENCH_INIT_RETRIES,
+BENCH_INIT_BACKOFF, BENCH_PROBE_TIMEOUT; the blind-rotate implementation
+follows the engine default (Toeplitz-slab matmul kernel on TPU; override
+with IYOKAN_BR_IMPL / IYOKAN_TK_LAYOUT / IYOKAN_TK_LB / IYOKAN_TKEY_LIMBS).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
 BASELINE_GATES_PER_SEC = 10_000.0
+FIXTURES = "/root/reference/test"
+
+PROBE_SRC = (
+    "import jax, numpy as np, jax.numpy as jnp;"
+    "x = jnp.ones((8, 8), jnp.int8);"
+    "print('probe ok:', jax.default_backend(),"
+    " np.asarray(jnp.dot(x, x, preferred_element_type=jnp.int32))[0, 0])"
+)
 
 
-def main():
+def emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def config_snapshot():
+    """The knobs that determine what this bench actually measured."""
+    cfg = {
+        "params": os.environ.get("BENCH_PARAMS", "cggi128"),
+        "G": int(os.environ.get("BENCH_G", "1024")),
+        "reps": int(os.environ.get("BENCH_REPS", "3")),
+    }
+    for k, v in sorted(os.environ.items()):
+        if k.startswith("IYOKAN_"):
+            cfg[k] = v
+    return cfg
+
+
+def probe_backend():
+    """Touch the device in a subprocess, retrying with backoff.
+
+    Returns None once a probe succeeds, else the last failure reason.
+    A subprocess is mandatory: a failed in-process init would be cached by
+    jax (xla_bridge memoizes backend errors) and poison the whole run.
+    """
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "4"))
+    backoff = float(os.environ.get("BENCH_INIT_BACKOFF", "90"))
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "420"))
+    last = "no probe ran"
+    for i in range(retries):
+        t0 = time.time()
+        try:
+            r = subprocess.run([sys.executable, "-c", PROBE_SRC],
+                               capture_output=True, text=True,
+                               timeout=timeout)
+            if r.returncode == 0:
+                print(f"# backend probe ok ({time.time()-t0:.0f}s)",
+                      file=sys.stderr, flush=True)
+                return None
+            lines = (r.stderr or "").strip().splitlines()
+            last = lines[-1][:300] if lines else f"probe rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {timeout:.0f}s"
+        print(f"# backend probe {i+1}/{retries} failed: {last}",
+              file=sys.stderr, flush=True)
+        if i + 1 < retries:
+            time.sleep(backoff)
+    return last
+
+
+def run_gate_bench():
+    """Returns (rate_gates_per_sec, extra_record_fields)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from iyokan_tpu import gates, params as params_mod
     from iyokan_tpu.crypto import host, ops
@@ -79,15 +149,60 @@ def main():
         out = nand_batch(keys, A, B, ca, cb, kk)
     _ = np.asarray(out[0, 0])   # force real completion through the tunnel
     dt = (time.time() - t0) / reps
-    rate = G / dt
     print(f"# {dt*1e3:.1f} ms / batch of {G}", file=sys.stderr)
+    return G / dt, {"wrong_results": n_bad, "ms_per_batch": round(dt * 1e3, 1)}
 
-    print(json.dumps({
-        "metric": "gate_bootstraps_per_sec",
-        "value": round(rate, 1),
-        "unit": "gates/s",
-        "vs_baseline": round(rate / BASELINE_GATES_PER_SEC, 3),
-    }))
+
+def run_diamond():
+    """The second north-star: encrypted cahp-diamond s/cycle, as a
+    subprocess (its own compile cache, contained failure/timeout).  Emits
+    the diamond JSON line (or a failure record) -- never raises."""
+    timeout = float(os.environ.get("BENCH_DIAMOND_TIMEOUT", "2700"))
+    cmd = [sys.executable,
+           os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "run_diamond_tfhe.py")]
+    env = dict(os.environ, DIAMOND_STAGES="0")
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, env=env)
+        line = None
+        for ln in (r.stdout or "").splitlines():
+            if ln.startswith("{") and "diamond_sec_per_cycle" in ln:
+                line = ln
+        if line is not None:
+            print(line, flush=True)
+            return
+        tail = ((r.stderr or "").strip().splitlines() or ["no output"])[-1]
+        emit({"metric": "diamond_sec_per_cycle", "value": 0.0,
+              "unit": "s/cycle", "error": f"rc={r.returncode}: {tail[:300]}"})
+    except subprocess.TimeoutExpired:
+        emit({"metric": "diamond_sec_per_cycle", "value": 0.0,
+              "unit": "s/cycle", "error": f"timed out after {timeout:.0f}s"})
+
+
+def main():
+    cfg = config_snapshot()
+    fail = probe_backend()
+    if fail is not None:
+        emit({"metric": "gate_bootstraps_per_sec", "value": 0.0,
+              "unit": "gates/s", "vs_baseline": 0.0, "config": cfg,
+              "error": f"TPU backend unavailable after retries: {fail}"})
+        return
+    try:
+        rate, extra = run_gate_bench()
+    except Exception as e:  # noqa: BLE001 - the record IS the deliverable
+        emit({"metric": "gate_bootstraps_per_sec", "value": 0.0,
+              "unit": "gates/s", "vs_baseline": 0.0, "config": cfg,
+              "error": f"{type(e).__name__}: {str(e)[:300]}"})
+        return
+    if (os.environ.get("BENCH_DIAMOND", "1") != "0"
+            and os.path.isdir(FIXTURES)):
+        run_diamond()
+    # the headline line goes LAST so the driver parses it as THE metric
+    emit({"metric": "gate_bootstraps_per_sec", "value": round(rate, 1),
+          "unit": "gates/s",
+          "vs_baseline": round(rate / BASELINE_GATES_PER_SEC, 3),
+          "config": cfg, **extra})
 
 
 if __name__ == "__main__":

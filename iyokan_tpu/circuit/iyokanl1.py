@@ -34,7 +34,17 @@ def read(design: Design, f: IO, ram_width: Optional[int] = None) -> None:
         # reference-style pre-minimized RAM netlists (mux-ram-*.min.json,
         # reference src/iyokan.hpp:2595-2628) load as plain [[file]] entries:
         # ramBit indexes the data word, so width = max(ramBit) + 1.
-        ram_bits = [int(c["ramBit"]) for c in cells if c["type"] == "RAM"]
+        ram_bits = []
+        for c in cells:
+            if c["type"] != "RAM":
+                continue
+            bit = c.get("ramBit")
+            if bit is None:
+                raise ValueError(
+                    f"RAM cell id={c.get('id')} has no 'ramBit' field; "
+                    "cannot infer the RAM data width -- pass ram_width "
+                    "explicitly or fix the netlist")
+            ram_bits.append(int(bit))
         if ram_bits:
             ram_width = max(ram_bits) + 1
 

@@ -19,6 +19,7 @@ negacyclic products run through the two-prime CRT NTT (crypto/ntt.py).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import os
 from typing import Tuple
@@ -519,7 +520,12 @@ def circuit_bootstrap(tlwe0: jnp.ndarray, bk2_prep: jnp.ndarray,
 # device-resident keys
 # --------------------------------------------------------------------------- #
 
-_DEVICE_KEY_CACHE: dict = {}
+# Bounded LRU: one prepared key set is multi-GB on device (the tkey slab
+# alone is ~2.9 GB at cggi128), so only the most recent few (params, config,
+# fingerprint) variants are pinned; older entries are dropped so the device
+# allocator can reclaim them (config sweeps toggle IYOKAN_* knobs per run).
+_DEVICE_KEY_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_DEVICE_KEY_CACHE_MAX = int(os.environ.get("IYOKAN_KEY_CACHE_SLOTS", "2"))
 
 
 @dataclasses.dataclass
@@ -570,11 +576,17 @@ class DeviceKeys:
         # within one process (e.g. the integration registry) reuse it.
         import hashlib
 
+        # Prefix hash: only the leading rows of each key component are
+        # hashed, on the assumption that an eval key's components come from
+        # a single RNG stream (any material difference shows up in the first
+        # rows).  Keys hand-assembled from mixed streams must not share a
+        # process with this cache.
         h = hashlib.sha1()
         h.update(np.asarray(ek.bk[:2]).tobytes())
         h.update(np.asarray(ek.ksk[:1]).tobytes())
         if with_cb:
             h.update(np.asarray(ek.bk2[:1]).tobytes())
+            h.update(np.asarray(ek.pksk[:1, :1]).tobytes())
             if ek.bk2u is not None and ek.bk2u.size:
                 h.update(np.asarray(ek.bk2u[:1]).tobytes())
         if ek.bku is not None:
@@ -588,6 +600,7 @@ class DeviceKeys:
         )
         hit = _DEVICE_KEY_CACHE.get(cache_key)
         if hit is not None:
+            _DEVICE_KEY_CACHE.move_to_end(cache_key)
             return hit
 
         # Default blind-rotate implementation: the Toeplitz-slab matmul
@@ -614,6 +627,11 @@ class DeviceKeys:
                 src = ek.bk
             # asymmetric gadget (see tkey_kernel_key): lb b-part digits
             lb = int(os.environ.get("IYOKAN_TK_LB", str(p.l)))
+            if not 1 <= lb <= p.l:
+                raise ValueError(
+                    f"IYOKAN_TK_LB={lb} out of range: need 1 <= lb <= "
+                    f"l={p.l} (lb=0 would be misread as a plain fat layout "
+                    f"by the kernel's row-count inference)")
             bkntt = jnp.asarray(
                 polymul.tkey_kernel_key(src, p, L, lay, lb=lb)
             )
@@ -661,6 +679,8 @@ class DeviceKeys:
         dk = DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats, bkuntt,
                         bk2untt)
         _DEVICE_KEY_CACHE[cache_key] = dk
+        while len(_DEVICE_KEY_CACHE) > _DEVICE_KEY_CACHE_MAX:
+            _DEVICE_KEY_CACHE.popitem(last=False)
         return dk
 
 

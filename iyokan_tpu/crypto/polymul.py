@@ -1030,6 +1030,11 @@ def tkey_kernel_key(bk_u32: np.ndarray, p: Params, limbs: int = 3,
     gadget): the b-part decomposition error enters the phase directly
     (not via the secret), so 2 digits add only sigma ~ 2^-9.7 against the
     2^-8.8 bootstrap noise while cutting contraction rows 2l -> l+lb."""
+    if lb is not None and not 1 <= lb <= p.l:
+        # lb=0 would make a fat2 slab's row count collide with the plain
+        # fat layout (2*(l+0) == l+l), so the kernel's row-count layout
+        # inference would silently misread it -- reject early.
+        raise ValueError(f"lb={lb} out of range: need 1 <= lb <= l={p.l}")
     if (lb is not None and lb < p.l and bk_u32.ndim == 4
             and bk_u32.shape[1] == 2 * p.l):
         bk_u32 = np.concatenate(

@@ -166,9 +166,8 @@ class Frontend:
                 )
 
     def _rom_payload(self, name):
-        if self.mode == "plain":
-            return self.req.rom.get(name)
-        return self.req.rom.get(name)  # TRLWE encoding
+        # plain bits and the TRLWE encoding share the .rom slot
+        return self.req.rom.get(name)
 
     def _rom_payload_mux(self, name):
         if self.mode == "plain":
@@ -182,8 +181,7 @@ class Frontend:
         eng = self.engine
         for ram in self.bp.builtin_rams:
             if ram.type == "cmux":
-                data = (self.req.ram.get(ram.name) if self.mode == "plain"
-                        else self.req.ram.get(ram.name))
+                data = self.req.ram.get(ram.name)
                 if data is not None:
                     self.rams[ram.name] = eng.make_ram_store(
                         ram.name, ram.in_addr_width, ram.in_wdata_width, data
@@ -250,6 +248,37 @@ class Frontend:
         return _resolve(self.design, port)
 
     # ------------------------------------------------------------------ #
+    def _log_execution_mode(self, can_scan, chunk_env, dump_prefix,
+                            stdout_csv, dump_time_csv_prefix,
+                            show_combinational_progress, on_cycle) -> None:
+        """One line at go() start naming the execution mode actually chosen,
+        so a profiled run can't silently measure a different mode than the
+        knobs suggest (dump/CSV/progress flags force the per-cycle path)."""
+        if self.mode != "tfhe":
+            log.info("execution mode: plain (per-level batched eval)")
+            return
+        fuse_env = os.environ.get("IYOKAN_FUSE_LEVELS", "8")
+        if can_scan:
+            log.info("execution mode: whole-cycle fusion + multi-cycle "
+                     "lax.scan (chunk=%s)", chunk_env)
+            return
+        if fuse_env == "all":
+            forced_by = [name for name, on in (
+                ("IYOKAN_PROFILE", os.environ.get("IYOKAN_PROFILE")),
+                ("--dump-prefix", dump_prefix is not None),
+                ("--stdout-csv", stdout_csv),
+                ("--dump-time-csv-prefix", dump_time_csv_prefix is not None),
+                ("--show-combinational-progress",
+                 show_combinational_progress),
+                ("on_cycle callback", on_cycle is not None),
+            ) if on]
+            log.info("execution mode: whole-cycle fusion, per-cycle dispatch"
+                     " (multi-cycle scan disabled by: %s)",
+                     ", ".join(forced_by) or "unknown")
+            return
+        log.info("execution mode: per-level dispatch, gate levels fused in "
+                 "groups of %s (IYOKAN_FUSE_LEVELS)", fuse_env)
+
     def go(self, num_cycles: Optional[int], skip_reset: bool = False,
            dump_prefix: Optional[str] = None,
            dump_sk: Optional[host.SecretKey] = None,
@@ -291,6 +320,18 @@ class Frontend:
         # scan length is part of the traced shape); "max" scans the whole
         # remainder in one dispatch at the cost of a per-length compile
         chunk_env = os.environ.get("IYOKAN_SCAN_CHUNK", "4")
+        if chunk_env != "max":
+            try:
+                if int(chunk_env) < 1:
+                    raise ValueError(chunk_env)
+            except ValueError:
+                log.warning(
+                    "invalid IYOKAN_SCAN_CHUNK=%r (want a positive int or "
+                    "'max'); using the default of 4", chunk_env)
+                chunk_env = "4"
+        self._log_execution_mode(can_scan, chunk_env, dump_prefix,
+                                 stdout_csv, dump_time_csv_prefix,
+                                 show_combinational_progress, on_cycle)
         i = 0
         while num_cycles < 0 or i < num_cycles:
             remaining = num_cycles - i

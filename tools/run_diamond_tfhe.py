@@ -83,6 +83,13 @@ def main():
     res = fe.make_result_packet().decrypt(sk)
     want = packet_mod.PlainPacket.from_toml_file(fixture(GOLDEN))
     ok = normalize(res) == normalize(want)
+    import json
+    print(json.dumps({
+        "metric": "diamond_sec_per_cycle", "value": round(total / CYCLES, 3),
+        "unit": "s/cycle", "cycles": CYCLES,
+        "bootstraps_per_cycle": nboots, "match": ok,
+        "fuse": os.environ.get("IYOKAN_FUSE_LEVELS", "8"),
+    }), flush=True)
     print("RESULT:", "MATCH" if ok else "MISMATCH")
     if not ok:
         for name in sorted(want.bits):
