@@ -183,6 +183,17 @@ def register(r: Runner):
     r.add_in_out("cahp-pearl-10", "config-toml/cahp-pearl.toml",
                  "in/test10.in", "out/test10-pearl.out", ncycles=264,
                  tfhe=False)
+    # long MUX-memory variants (reference test.rb:414-419): the widest
+    # plain workloads -- the 8808-cell MUX-RAM swept for hundreds of cycles
+    r.add_in_out("cahp-diamond-mux-01", "config-toml/cahp-diamond-mux.toml",
+                 "in/test01.in", "out/test01-diamond.out", ncycles=346,
+                 tfhe=False)
+    r.add_in_out("cahp-ruby-mux-10", "config-toml/cahp-ruby-mux.toml",
+                 "in/test10.in", "out/test10-ruby.out", ncycles=362,
+                 tfhe=False)
+    r.add_in_out("cahp-pearl-mux-10", "config-toml/cahp-pearl-mux.toml",
+                 "in/test10.in", "out/test10-pearl.out", ncycles=264,
+                 tfhe=False)
     r.add_in_out("cahp-ruby-mux-1KiB-11", "config-toml/cahp-ruby-mux-1KiB.toml",
                  "in/test11.in", "out/test11.out", ncycles=7, tfhe=False)
     r.add_in_out("const-4bit-22", "config-toml/const-4bit.toml",
