@@ -227,11 +227,20 @@ def trivial_tlwe0(params: Params, bits: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------- #
 
 
-def trlwe1_encrypt(sk: SecretKey, msg_poly: np.ndarray, alpha: float, rng) -> np.ndarray:
-    """msg_poly: uint32 [..., N] -> TRLWE uint32 [..., 2, N]."""
+def trlwe1_encrypt(sk: SecretKey, msg_poly: np.ndarray, alpha: float, rng,
+                   mask_grid_bits: int = 0) -> np.ndarray:
+    """msg_poly: uint32 [..., N] -> TRLWE uint32 [..., 2, N].
+
+    mask_grid_bits > 0 draws the mask `a` from the 2^mask_grid_bits-grid
+    (low bits zero) instead of the full torus: used for the bootstrapping
+    key so the Toeplitz-slab kernel's top-3-limb int8 key representation
+    is EXACT on the mask component (see genevalkey for the security
+    argument and the noise analysis that motivates it)."""
     p = sk.params
     msg = np.asarray(msg_poly, np.uint32)
     a = rng.integers(0, 1 << 32, msg.shape, dtype=np.uint32)
+    if mask_grid_bits:
+        a &= np.uint32((0xFFFFFFFF << mask_grid_bits) & 0xFFFFFFFF)
     b = polymul_bin_u32(a, sk.s1) + msg + _gauss32(rng, alpha, msg.shape)
     return np.stack([a, b], axis=-2)
 
@@ -294,8 +303,35 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None,
     p = sk.params
     rng = np.random.default_rng(seed)
 
+    # --- bootstrapping-key mask quantization ---------------------------------
+    # The bk/bku TRGSW masks are drawn from the 256-grid (low byte zero)
+    # by default.  Why: the TPU engine's Toeplitz-slab kernel represents
+    # each key coefficient as its top 3 balanced radix-256 limbs
+    # (crypto/polymul.py:tkey_prep1); for a full-torus mask the dropped
+    # limb is a ~2^-25.8 per-coefficient error on the MASK component,
+    # which the phase multiplies by the secret s1 (||s1||^2 ~ N/2) --
+    # accumulated over the n CMUX steps that is sigma ~ 2^-15.3 *
+    # sqrt(N/2 * n) ~ 2^-6, enough to corrupt cascaded gates (~1.5e-3
+    # error/gate at cggi128).  With masks on the 256-grid, balanced limb 0
+    # is identically zero: the 3-limb slab is EXACT on the mask component
+    # and only the benign b-component truncation remains (enters the
+    # phase directly: sigma ~ 2^-10.6 total, vs the 2^-8.8 bootstrap
+    # noise).  Security: the instance is equivalent (divide by 256) to
+    # RLWE mod 2^24 with rounded noise -- the noise-to-modulus gap,
+    # which drives lattice-attack cost, is 25 bits exactly as in the
+    # full-torus instance (an LWR-style rounding argument); the gadget
+    # constants m*2^(32-(j+1)*Bgbit) stay on the grid whenever
+    # 32 - l*Bgbit >= 8, which holds for all shipped parameter sets.
+    # Opt out (e.g. for interop experiments) with IYOKAN_BK_MASK_BITS=32.
+    import os as _os
+
+    qbits = 32 - int(_os.environ.get("IYOKAN_BK_MASK_BITS", "24"))
+    if qbits < 0 or 32 - p.l * p.Bgbit < qbits:
+        qbits = 0
+
     # --- gate bootstrapping key: TRGSW_lvl1(s0_i), batched encryption -------
-    zeros = trlwe1_encrypt(sk, np.zeros((p.n, 2 * p.l, p.N), np.uint32), p.alpha1, rng)
+    zeros = trlwe1_encrypt(sk, np.zeros((p.n, 2 * p.l, p.N), np.uint32),
+                           p.alpha1, rng, mask_grid_bits=qbits)
     for j in range(p.l):
         g = (sk.s0.astype(np.uint64) << (32 - (j + 1) * p.Bgbit)).astype(np.uint32)
         zeros[:, j, 0, 0] += g
@@ -310,7 +346,8 @@ def genevalkey(sk: SecretKey, seed: Optional[int] = None,
     sa, sb = s0p[0::2].astype(np.uint64), s0p[1::2].astype(np.uint64)
     msgs = np.stack([sa * (1 - sb), sb * (1 - sa), sa * sb], axis=1)  # [n2,3]
     zu = trlwe1_encrypt(
-        sk, np.zeros((len(sa), 3, 2 * p.l, p.N), np.uint32), p.alpha1, rng
+        sk, np.zeros((len(sa), 3, 2 * p.l, p.N), np.uint32), p.alpha1, rng,
+        mask_grid_bits=qbits,
     )
     for j in range(p.l):
         g = (msgs << np.uint64(32 - (j + 1) * p.Bgbit)).astype(np.uint32)

@@ -520,6 +520,29 @@ def circuit_bootstrap(tlwe0: jnp.ndarray, bk2_prep: jnp.ndarray,
 # device-resident keys
 # --------------------------------------------------------------------------- #
 
+def tkey_default_config(p: Params):
+    """The tkey-kernel config the engine uses on TPU when no IYOKAN_*
+    knob overrides it: (limbs, layout, lb).  Single source of truth for
+    from_evalkey AND the noise-regression test (test_noise_and_params.py),
+    so a default flip that eats the noise margin fails in CI, not in a
+    100k-gate device run."""
+    L = int(os.environ.get("IYOKAN_TKEY_LIMBS", "3"))
+    lay = os.environ.get("IYOKAN_TK_LAYOUT", "fat")
+    # default lb=2 (asymmetric gadget): drops the least-significant b-part
+    # digit rows, cutting contraction rows 2l -> l+2 (5/6 of the MACs at
+    # l=3).  The dropped digit's error enters the phase directly (not via
+    # the secret): measured sigma 2^-9.51 pre-KS vs 2^-9.73 at lb=l, well
+    # inside the 2^-8.2 budget (test_noise_and_params.py asserts this
+    # config).
+    lb = int(os.environ.get("IYOKAN_TK_LB", str(min(2, p.l))))
+    if not 1 <= lb <= p.l:
+        raise ValueError(
+            f"IYOKAN_TK_LB={lb} out of range: need 1 <= lb <= "
+            f"l={p.l} (lb=0 would be misread as a plain fat layout "
+            f"by the kernel's row-count inference)")
+    return L, lay, lb
+
+
 # Bounded LRU: one prepared key set is multi-GB on device (the tkey slab
 # alone is ~2.9 GB at cggi128), so only the most recent few (params, config,
 # fingerprint) variants are pinned; older entries are dropped so the device
@@ -613,8 +636,7 @@ class DeviceKeys:
         if impl == "tkey":
             # Toeplitz-slab key (host expansion + one transfer): the
             # gate-bootstrap path runs the no-NTT ops/pallas_tk kernel.
-            L = int(os.environ.get("IYOKAN_TKEY_LIMBS", "3"))
-            lay = os.environ.get("IYOKAN_TK_LAYOUT", "fat")
+            L, lay, lb = tkey_default_config(p)
             # 2-bit unrolled slabs (opt-in): half the sequential depth at
             # 1.5x the matmul MACs -- a latency play for small batches,
             # a measured throughput LOSS at large ones (232 vs 165 ms per
@@ -625,13 +647,20 @@ class DeviceKeys:
                 src = ek.bku.reshape(ek.bku.shape[0], 6 * p.l, 2, p.N)
             else:
                 src = ek.bk
+            if L < 4 and np.any(src[:2, :, 0, :] & ((1 << (8 * (4 - L))) - 1)):
+                # host.genevalkey quantizes bk masks to the 256-grid so the
+                # truncated slab is exact on the mask component; a key with
+                # full-torus masks (pre-quantization snapshot, or
+                # IYOKAN_BK_MASK_BITS=32) rides this kernel with ~2^-6
+                # phase noise -- enough to corrupt cascaded gates.
+                import warnings
+
+                warnings.warn(
+                    "eval key has unquantized bootstrapping-key masks: the "
+                    f"{L}-limb Toeplitz-slab kernel adds ~2^-6 phase noise "
+                    "on such keys. Regenerate the eval key (host.genevalkey "
+                    "quantizes masks by default) or set IYOKAN_TKEY_LIMBS=4.")
             # asymmetric gadget (see tkey_kernel_key): lb b-part digits
-            lb = int(os.environ.get("IYOKAN_TK_LB", str(p.l)))
-            if not 1 <= lb <= p.l:
-                raise ValueError(
-                    f"IYOKAN_TK_LB={lb} out of range: need 1 <= lb <= "
-                    f"l={p.l} (lb=0 would be misread as a plain fat layout "
-                    f"by the kernel's row-count inference)")
             bkntt = jnp.asarray(
                 polymul.tkey_kernel_key(src, p, L, lay, lb=lb)
             )

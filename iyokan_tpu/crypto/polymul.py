@@ -952,9 +952,15 @@ def get_backend(name: str = None):
 # unit impulse d = delta_0 and tested bit-exactly against polymul_u32).
 #
 # The key is limb-decomposed into balanced radix-256 int8 limbs; keeping the
-# top `limbs` of 4 trades HBM (4 limbs = 3.8 GB at cggi128) against a
-# truncation noise of sigma ~ 2^-10.6 total at limbs=3 (negligible vs the
-# 2^-8.8 bootstrap noise; see tests/test_noise_and_params.py).
+# top `limbs` of 4 trades HBM (4 limbs = 3.8 GB at cggi128) against
+# truncation error on the dropped limb.  CRITICAL noise asymmetry (found by
+# the round-3 regression test): truncation on the MASK component is
+# multiplied by the secret at phase time (x sqrt(N/2) ~ 22x), accumulating
+# to sigma ~2^-6 over n steps -- so host.genevalkey samples bk masks on the
+# 256-grid, making the 3-limb slab EXACT on the mask component; only the
+# b-component truncation remains (enters the phase directly, sigma ~2^-10.6
+# total, negligible vs the 2^-8.8 bootstrap noise; measured: tkey L=3 sigma
+# 2^-9.73 == XLA 2^-9.65, tests/test_noise_and_params.py).
 # Replaces the cuFHE NTT bootstrap kernel role (thirdparty/cuFHE).
 
 

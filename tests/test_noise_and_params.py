@@ -77,6 +77,40 @@ def test_cggi128_gates():
 
 
 @pytest.mark.slow
+def test_cggi128_device_default_kernel_noise(monkeypatch):
+    """Noise regression for the DEVICE default kernel config.
+
+    The TPU engine default is the Toeplitz-slab (tkey) kernel, whose limb
+    truncation adds noise on top of the bootstrap noise (~2^-10.6 sigma at
+    L=3 against the ~2^-8.8 bootstrap sigma, PERF.md round 2).  This runs
+    the full NAND bootstrap through the *same config resolution* the
+    engine uses on device (ops.tkey_default_config: IYOKAN_TKEY_LIMBS /
+    IYOKAN_TK_LAYOUT / IYOKAN_TK_LB defaults) via the interpret-mode
+    kernel on CPU, and asserts the combined bootstrap + truncation +
+    keyswitch sigma against the same documented budget as the XLA path
+    (sigma ~= 2^-8.2, asserted at 2^-7.7 = ~1.4x headroom): a future
+    config flip that eats the margin fails here, not in a 100k-gate
+    device run (tools/measure_error_rate.py)."""
+    monkeypatch.setenv("IYOKAN_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("IYOKAN_BR_IMPL", "tkey")
+    p = params_mod.CGGI128
+    L, lay, lb = ops.tkey_default_config(p)
+    sk = host.keygen(p, seed=0)
+    ek = host.genevalkey(sk, seed=1, with_cb=False)
+    out, want = _bootstrap_nand(p, sk, ek, 64, 17)
+    got = host.decrypt_bits(sk, out)
+    np.testing.assert_array_equal(got, want)
+
+    phase = host.tlwe0_phase(sk, out).astype(np.int64)
+    signed = np.where(phase > 1 << 31, phase - (1 << 32), phase)
+    err = np.where(want == 1, signed - p.mu, signed + p.mu)
+    sigma = err.std() / 2.0 ** 32
+    assert sigma < 2.0 ** -7.7, (
+        f"device default config (limbs={L}, layout={lay}, lb={lb}): "
+        f"sigma = {sigma} exceeds the 2^-7.7 budget (expected ~2^-8.2)")
+
+
+@pytest.mark.slow
 def test_cggi16_80_gates():
     """The 80-bit option (reference IYOKAN_80BIT_SECURITY build)."""
     p = params_mod.CGGI16_80

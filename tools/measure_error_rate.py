@@ -74,10 +74,44 @@ def main():
         print(f"batch {it+1}/{BATCHES}: cumulative errors {wrong}/{total}",
               flush=True)
 
+    # cascade rounds: outputs feed the next round's inputs, the scenario a
+    # fresh-input check never exercises (round 3: this is exactly where the
+    # unquantized-mask truncation noise bit -- per-gate sigma that looks
+    # fine at the decrypt threshold still breaks the NEXT gate's linear
+    # combination, whose noise is the sum of two bootstrapped outputs).
+    cascade = int(os.environ.get("ER_CASCADE", "8"))
+    c_wrong = c_total = 0
+    if cascade:
+        a = rng.integers(0, 2, G, dtype=np.uint8)
+        b = rng.integers(0, 2, G, dtype=np.uint8)
+        A = jnp.asarray(host.encrypt_bits(sk, a, rng))
+        B = jnp.asarray(host.encrypt_bits(sk, b, rng))
+        for r in range(cascade):
+            kinds = rng.integers(0, len(kind_list), G)
+            lin = np.array([gates.GATE_LIN[kind_list[k]] for k in kinds],
+                           np.int32)
+            out = run(keys, A, B, jnp.asarray(lin[:, 0]),
+                      jnp.asarray(lin[:, 1]), jnp.asarray(lin[:, 2]))
+            want = np.array(
+                [plain[kind_list[k]](int(x), int(y))
+                 for k, x, y in zip(kinds, a, b)], np.uint8)
+            got = host.decrypt_bits(sk, np.asarray(out))
+            c_wrong += int((got != want).sum())
+            c_total += G
+            # outputs become one operand, a shuffled copy the other
+            perm = rng.permutation(G)
+            A, B = out, out[perm]
+            a, b = want, want[perm]
+            print(f"cascade {r+1}/{cascade}: cumulative errors "
+                  f"{c_wrong}/{c_total}", flush=True)
+
     err = np.concatenate(errs)
     sigma = err.std() / 2.0 ** 32
     print(f"\n{total} gates, {wrong} wrong "
           f"(rate {wrong/total:.2e})")
+    if cascade:
+        print(f"cascade: {c_total} chained gates, {c_wrong} wrong "
+              f"(rate {c_wrong/max(c_total,1):.2e})")
     print(f"phase sigma = 2^{math.log2(sigma):.2f} "
           f"(threshold 1/16 = 2^-4; margin {(1/16)/sigma:.1f} sigma)")
     print(f"wall: {time.time()-t0:.1f}s")
@@ -100,6 +134,8 @@ def main():
         "budget_sigma_log2": math.log2(budget_sigma),
         "threshold": 1 / 16,
         "margin_sigmas": (1 / 16) / sigma,
+        "cascade_gates": c_total,
+        "cascade_wrong": c_wrong,
         "backend": jax.default_backend(),
         # gadget/kernel config under test (asymmetric gadget etc.)
         "env": {k: v for k, v in os.environ.items()

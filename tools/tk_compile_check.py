@@ -4,7 +4,7 @@
 Skips keygen and the 2.9 GB host->device key transfer (values are wrong;
 this only validates Mosaic compilation and measures step throughput).
 
-Usage: python tools/tk_compile_check.py [G] [BG] [L] [reps] [thin|fat]
+Usage: python tools/tk_compile_check.py [G] [BG] [L] [reps] [thin|fat] [lb]
 """
 
 import os
@@ -29,11 +29,13 @@ def main():
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     layout = sys.argv[5] if len(sys.argv) > 5 else "thin"
     p = params_mod.CGGI128
+    lb = int(sys.argv[6]) if len(sys.argv) > 6 else p.l
 
+    rr = p.l + lb   # asymmetric gadget row count (lb == l -> plain 2l)
     if layout == "fat":
-        key = jnp.ones((p.n, 2 * p.l * p.N, 2 * L * 128), jnp.int8)
+        key = jnp.ones((p.n, rr * p.N, 2 * L * 128), jnp.int8)
     else:
-        key = jnp.ones((p.n, 2 * p.l, p.N, 2 * L * 128), jnp.int8)
+        key = jnp.ones((p.n, rr, p.N, 2 * L * 128), jnp.int8)
     rng = np.random.default_rng(0)
     tlwe = jnp.asarray(rng.integers(0, 1 << 32, (G, p.n + 1),
                                     dtype=np.uint32))
@@ -49,7 +51,7 @@ def main():
         out = fn(tlwe)
     _ = np.asarray(out[0, 0, 0])
     dt = (time.time() - t0) / reps
-    print(f"RESULT G={G} BG={BG} L={L} {layout}: {dt*1e3:.1f} ms "
+    print(f"RESULT G={G} BG={BG} L={L} lb={lb} {layout}: {dt*1e3:.1f} ms "
           f"-> {G/dt:.0f} gates/s", flush=True)
 
 

@@ -76,28 +76,29 @@ def main():
                 else:
                     os.environ[k] = v
 
-    run("pipe default", 1024, {})
-    run("pipe mm-ablated (exposed VPU+ovh)", 1024,
+    # round 3: the default is now lb=2 (asymmetric gadget, noise-validated
+    # on quantized-mask keys).  The matrix: gadget x chains x BG.
+    run("pipe default (lb=2)", 1024, {})
+    run("pipe lb=3 (full gadget)", 1024, {"IYOKAN_TK_LB": "3"})
+    run("pipe lb=2 mm-ablated (exposed VPU+ovh)", 1024,
         {"IYOKAN_TK_ABLATE": "mm", "IYOKAN_TK_PIPE": "force"})
-    run("pipe vpu-ablated (exposed MXU+ovh)", 1024,
+    run("pipe lb=2 vpu-ablated (exposed MXU+ovh)", 1024,
         {"IYOKAN_TK_ABLATE": "rot,decompose,recomb",
          "IYOKAN_TK_PIPE": "force"})
-    run("pipe G=2048 BG=512 (grid 2)", 2048, {})
-    run("serial G=2048 BG=1024", 2048,
-        {"IYOKAN_TK_PIPE": "0", "IYOKAN_PALLAS_BG": "1024"})
-    run("pipe G=2048 BG=1024 (grid 1)", 2048, {"IYOKAN_PALLAS_BG": "1024"})
-    run("serial G=2048 BG=1024 vpu-ablated", 2048,
-        {"IYOKAN_TK_PIPE": "0", "IYOKAN_PALLAS_BG": "1024",
-         "IYOKAN_TK_ABLATE": "rot,decompose,recomb"})
-    run("pipe ext8 (i8 concat)", 1024, {"IYOKAN_TK_EXT8": "1"})
-    run("pipe 4 chains BG=256", 1024,
-        {"IYOKAN_TK_CHAINS": "4", "IYOKAN_PALLAS_BG": "256"})
-    run("pipe 3 chains BG=512", 1536, {"IYOKAN_TK_CHAINS": "3"})
-    run("pipe 4 chains BG=512", 2048, {"IYOKAN_TK_CHAINS": "4"})
-    run("pipe lb=2 asymmetric gadget", 1024, {"IYOKAN_TK_LB": "2"})
+    run("pipe lb=2 + 3 chains BG=341->384", 1152, {"IYOKAN_TK_CHAINS": "3",
+                                                   "IYOKAN_PALLAS_BG": "384"})
     run("pipe lb=2 + 4 chains BG=256", 1024,
-        {"IYOKAN_TK_LB": "2", "IYOKAN_TK_CHAINS": "4",
+        {"IYOKAN_TK_CHAINS": "4", "IYOKAN_PALLAS_BG": "256"})
+    run("pipe lb=2 + 6 chains BG=170->192", 1152,
+        {"IYOKAN_TK_CHAINS": "6", "IYOKAN_PALLAS_BG": "192"})
+    run("pipe lb=2 G=2048 BG=512 (grid 2)", 2048, {})
+    run("pipe lb=2 G=2048 4 chains BG=512", 2048, {"IYOKAN_TK_CHAINS": "4"})
+    run("serial lb=2 G=2048 BG=1024", 2048,
+        {"IYOKAN_TK_PIPE": "0", "IYOKAN_PALLAS_BG": "1024"})
+    run("pipe lb=3 + 4 chains BG=256", 1024,
+        {"IYOKAN_TK_LB": "3", "IYOKAN_TK_CHAINS": "4",
          "IYOKAN_PALLAS_BG": "256"})
+    run("pipe lb=2 ext8 (i8 concat)", 1024, {"IYOKAN_TK_EXT8": "1"})
     # small (latency-bound) batches: diamond levels average ~90 gates.
     # bk_for routes <= IYOKAN_UNROLL_MAX to the unrolled NTT key; forcing
     # it to 0 exposes the tkey serial kernel at the same sizes.
