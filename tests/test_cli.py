@@ -144,6 +144,34 @@ def test_time_csv_and_progress(tmp_path, caplog):
     body = [ln.split(",") for ln in lines[1:] if "total" not in ln]
     assert body and all(float(row[3]) >= 0.0 for row in body)  # real seconds
     assert any("gates evaluated" in r.message for r in caplog.records)
+    # the chosen execution mode is logged once at go() start
+    assert any("execution mode: plain" in r.getMessage()
+               for r in caplog.records)
+
+
+def test_execution_mode_logged(tmp_path, caplog, monkeypatch):
+    """go() names the execution mode it actually chose, including WHY the
+    multi-cycle scan degraded to per-cycle dispatch when an observation
+    flag forces the slow path (round-3 verdict item 7)."""
+    import logging
+
+    req, res = str(tmp_path / "req"), str(tmp_path / "res")
+    packet_cli.main(["toml2packet", "--in", fixture("in/test13.in"),
+                     "--out", req])
+    sk, ek = str(tmp_path / "sk"), str(tmp_path / "ek")
+    packet_cli.main(["genkey", "--type", "tfhepp", "--params", "toy",
+                     "--out", sk, "--seed", "0"])
+    packet_cli.main(["genevalkey", "--in", sk, "--out", ek, "--seed", "1"])
+    packet_cli.main(["enc", "--key", sk, "--in", req, "--out", req])
+    monkeypatch.setenv("IYOKAN_FUSE_LEVELS", "all")
+    with caplog.at_level(logging.INFO, logger="iyokan"):
+        iyokan_cli.main(["tfhe", "--blueprint",
+                         fixture("config-toml/counter-4bit.toml"),
+                         "--evalkey", ek, "-i", req, "-o", res, "-c", "2",
+                         "--dump-time-csv-prefix", str(tmp_path / "t")])
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("execution mode: whole-cycle fusion, per-cycle dispatch"
+               in m and "--dump-time-csv-prefix" in m for m in msgs), msgs
 
 
 def test_snapshot_resume(tmp_path):

@@ -158,6 +158,27 @@ def test_tkey_unrolled_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
     np.testing.assert_array_equal(got, want)
 
 
+def test_stale_unquantized_key_warns(toy, toy_sk, monkeypatch):
+    """An eval key with full-torus masks (pre-quantization snapshot or
+    IYOKAN_BK_MASK_BITS=32) triggers a warning when prepared for the
+    truncated slab kernel: such keys ride it with ~2^-6 phase noise."""
+    monkeypatch.setenv("IYOKAN_BK_MASK_BITS", "32")
+    ek = host.genevalkey(toy_sk, seed=7, with_cb=False)
+    assert np.any(ek.bk[:, :, 0, :] & 0xFF)     # masks really unquantized
+    monkeypatch.setenv("IYOKAN_BR_IMPL", "tkey")
+    with pytest.warns(UserWarning, match="unquantized"):
+        ops.DeviceKeys.from_evalkey(ek, with_cb=False)
+
+
+def test_quantized_key_no_warning(toy, toy_ek, monkeypatch, recwarn):
+    """Default keygen (256-grid masks) prepares for the slab kernel
+    without the stale-key warning."""
+    assert not np.any(toy_ek.bk[:, :, 0, :] & 0xFF)
+    monkeypatch.setenv("IYOKAN_BR_IMPL", "tkey")
+    ops.DeviceKeys.from_evalkey(toy_ek, with_cb=False)
+    assert not [w for w in recwarn if "unquantized" in str(w.message)]
+
+
 def test_tkey_gate_bootstrap_truth_tables(toy, toy_sk, toy_dk, toy_ek, rng):
     """3-limb default: NAND/XOR truth tables through the tkey kernel."""
     from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
