@@ -33,13 +33,18 @@ GOLDEN = os.environ.get("DIAMOND_OUT", "out/test00-diamond.out")
 def main():
     os.makedirs(CACHE, exist_ok=True)
     skf = os.path.join(CACHE, "sk-cggi128")
-    ekf = os.path.join(CACHE, "ek-cggi128")
+    # the eval-key cache name is versioned by the bk mask-grid setting: a
+    # pre-quantization key (round 2 cache) must not silently ride the
+    # truncated slab kernel (see host.genevalkey)
+    qtag = f"-q{os.environ.get('IYOKAN_BK_MASK_BITS', '24')}"
+    ekf = os.path.join(CACHE, "ek-cggi128" + qtag)
     t0 = time.time()
     if not os.path.exists(skf):
         sk = host.keygen(host.by_name("cggi128"), seed=0)
         sk.save(skf)
-        host.genevalkey(sk, seed=1).save(ekf)
     sk = host.SecretKey.load(skf)
+    if not os.path.exists(ekf):
+        host.genevalkey(sk, seed=1).save(ekf)
     ek = host.EvalKey.load(ekf)
     print(f"keys ready ({time.time()-t0:.1f}s)", flush=True)
 
