@@ -38,7 +38,15 @@ import time
 BASELINE_GATES_PER_SEC = 10_000.0
 FIXTURES = "/root/reference/test"
 
+# BENCH_PLATFORM=cpu runs the whole bench off-accelerator (smoke-testing
+# the harness itself; the ambient env pins jax to the TPU tunnel and only
+# jax.config.update can override it -- see tools/run_tests.py --platform).
+PLATFORM = os.environ.get("BENCH_PLATFORM")
+_STEER = (f"import jax; jax.config.update('jax_platforms', '{PLATFORM}');"
+          if PLATFORM else "")
+
 PROBE_SRC = (
+    _STEER +
     "import jax, numpy as np, jax.numpy as jnp;"
     "x = jnp.ones((8, 8), jnp.int8);"
     "print('probe ok:', jax.default_backend(),"
@@ -98,6 +106,9 @@ def probe_backend():
 def run_gate_bench():
     """Returns (rate_gates_per_sec, extra_record_fields)."""
     import jax
+
+    if PLATFORM:
+        jax.config.update("jax_platforms", PLATFORM)
     import jax.numpy as jnp
     import numpy as np
 
