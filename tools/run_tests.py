@@ -122,6 +122,7 @@ class Runner:
         print(f"[{len(sel)} TESTS SELECTED ({tags})] "
               + ", ".join(t["name"] for t in sel))
         failed = []
+        self.results = []
         for it in range(repeat):
             random.shuffle(sel)
             for t in sel:
@@ -131,9 +132,15 @@ class Runner:
                     t["fn"]()
                     print(f"Test {t['name']} done."
                           f" ({time.time() - start:.1f} sec.)")
+                    ok = True
                 except Exception as e:  # noqa: BLE001
                     print(f"Test {t['name']} FAILED: {e}")
                     failed.append(t["name"])
+                    ok = False
+                self.results.append({
+                    "name": t["name"], "ok": ok,
+                    "seconds": round(time.time() - start, 2),
+                })
         return failed
 
 
@@ -338,6 +345,9 @@ def main():
                     help="force the jax platform (cpu: e.g. toy-params "
                          "tfhe runs on a dev box; default: cpu for "
                          "plain-only selections, ambient otherwise)")
+    ap.add_argument("--results-json", default=None,
+                    help="write a machine-readable run record (selected "
+                         "tests, per-test seconds, failures, platform)")
     args = ap.parse_args()
 
     # registry runs are compile-dominated (16 distinct circuits, few
@@ -370,6 +380,21 @@ def main():
             pass
 
     failed = r.run(args.tags, args.repeat)
+    if args.results_json:
+        import json
+
+        with open(args.results_json, "w") as f:
+            json.dump({
+                "tags": args.tags,
+                "params": args.params,
+                "platform": "cpu" if want_cpu else "ambient",
+                "fuse_levels": os.environ.get("IYOKAN_FUSE_LEVELS"),
+                "repeat": args.repeat,
+                "selected": len(r.results) // max(args.repeat, 1),
+                "failed": failed,
+                "tests": r.results,
+            }, f, indent=1)
+        print(f"wrote {args.results_json}")
     if failed:
         print("FAILED:", ", ".join(failed))
         sys.exit(1)
