@@ -217,8 +217,8 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate, lb,
 
 
 def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
-                 abar_ref, acca_ref, accb_ref, bk_hbm, outa_ref, outb_ref,
-                 bk_buf, sems):
+                 kmaj, abar_ref, acca_ref, accb_ref, bk_hbm, outa_ref,
+                 outb_ref, bk_buf, sems):
     """Software-pipelined fat+split kernel: C independent gate chains
     (rows [c*BG:(c+1)*BG]) interleaved so one chain's VPU work
     (rotation, decomposition, recombination) overlaps another chain's
@@ -233,7 +233,21 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
       issue dots[c](i) | recomb + next ext of chain (c-1) mod C
     where chain C-1's dot results cross the iteration boundary in the
     carry and its step-i ext is built in window 0 (before window C-1
-    consumes it)."""
+    consumes it).
+
+    kmaj ("K-major") reshapes the per-step matmuls for SMALL gate
+    batches: output block K's split dot is algebraically the negacyclic
+    rotation of the digit extension by cut = 128*RR*(K+1) lanes dotted
+    against the plain fat slab --
+        s_K = concat(ext[:, cut:], -ext[:, :cut]) . bk
+    -- so the NB blocks stack along the matmul M dimension into ONE
+    [NB*BG, RR*N] x [RR*N, 2L*128] dot per step: identical MACs and key
+    DMA, but 8x the M rows.  At BG <= 16 the default scheme feeds the
+    128x128 MXU 8..16-row operands (<= 12% row occupancy); kmaj restores
+    a 64..128-row operand, which is what makes routing the task graph's
+    small per-level batches to this kernel profitable.  The rotated rows
+    are assembled in i32 (8x128 tiles, so BG = 8 sublane concats stay
+    tile-aligned) and cast to i8 once."""
     N = p.N
     C = chains
     BG = acca_ref.shape[0] // C
@@ -262,16 +276,18 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
 
     def ext_of(pa, pb, r):
         """Rotate-diff + gadget decomposition -> interleaved +d digit
-        extension [BG, RR*N] i8 (lanes ordered (block, part, j, 128))."""
+        extension [BG, RR*N] (lanes ordered (block, part, j, 128)).
+        i8 normally; i32 under kmaj (the rotated-row assembly negates
+        and concatenates in i32 before one final i8 cast)."""
         if "rot" in ablate:
             xs = (pa + pa + offs[0], pb + pb + offs[1])
         else:
             xs = (cops.rot_poly(pa, r, N) - pa + offs[0],
                   cops.rot_poly(pb, r, N) - pb + offs[1])
         if "decompose" in ablate:
-            return jnp.broadcast_to(
-                (xs[0][:, :1].astype(i32) & 31).astype(i8),
-                (xs[0].shape[0], RR * N))
+            w = xs[0][:, :1].astype(i32) & 31
+            return jnp.broadcast_to(w if kmaj else w.astype(i8),
+                                    (xs[0].shape[0], RR * N))
         pieces = []
         for b in range(NB):
             for part in range(2):
@@ -282,8 +298,10 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
                          - p.Bg // 2)
                     # ext8: cast per piece so the concat copies i8, not
                     # i32 (4x less VMEM traffic on the hot path)
-                    pieces.append(w.astype(i8) if ext8 else w)
+                    pieces.append(w.astype(i8) if ext8 and not kmaj else w)
         out = jnp.concatenate(pieces, axis=-1)
+        if kmaj:
+            return out
         return out if ext8 else out.astype(i8)
 
     def mm(a, b):
@@ -296,6 +314,24 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
             return [jnp.broadcast_to(ext[:, :1].astype(i32),
                                      (ext.shape[0], 2 * L * 128))
                     for _ in range(NB)]
+        if kmaj:
+            # one M-stacked dot: row block K = ext negacyclically
+            # rotated left by cut (equals the split two-dot form).
+            # A fat2 key's second copy IS the plain slab; use it so
+            # both key layouts ride the same math.
+            bkp = bk[RR * N:] if fat2 else bk
+            rows = []
+            for K in range(NB):
+                cut = grp * (K + 1)
+                if cut < RR * N:
+                    rows.append(jnp.concatenate(
+                        [ext[:, cut:], -ext[:, :cut]], axis=-1))
+                else:
+                    rows.append(-ext)
+            E = jnp.concatenate(rows, axis=0).astype(i8)
+            S = mm(E, bkp)                       # [NB*BG, 2L*128]
+            Bl = ext.shape[0]
+            return [S[K * Bl:(K + 1) * Bl] for K in range(NB)]
         ss = []
         for K in range(NB):
             cut = grp * (K + 1)
@@ -365,7 +401,7 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
     exts0 = [
         ext_of(accs0[2 * c], accs0[2 * c + 1], abar_ref[0, rows_of(c)])
         if c < C - 1 else
-        jnp.zeros((BG, RR * N), i8)              # built in window 0
+        jnp.zeros((BG, RR * N), i32 if kmaj else i8)  # built in window 0
         for c in range(C)
     ]
     ss0 = [jnp.zeros((BG, 2 * L * 128), i32) for _ in range(NB)]
@@ -382,11 +418,12 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
 @functools.lru_cache(maxsize=None)
 def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
                fat2: bool = False, ablate: frozenset = frozenset(),
-               ext8: bool = False, chains: int = 2, lb: int = None):
+               ext8: bool = False, chains: int = 2, lb: int = None,
+               kmaj: bool = False):
     if lb is None:
         lb = p.l
     kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2, ablate,
-                               ext8, chains, lb)
+                               ext8, chains, lb, kmaj)
     part_spec = pl.BlockSpec((chains * BG, p.N), lambda g: (g, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -481,8 +518,24 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     if block_g is None:
         block_g = int(os.environ.get("IYOKAN_PALLAS_BG", "512"))
     G = tlwe0.shape[0]
-    BG = min(block_g, max(8, G))
-    pad = (-G) % BG
+
+    ablate = frozenset(
+        x for x in os.environ.get("IYOKAN_TK_ABLATE", "").split(",") if x
+    )
+    split = fat and os.environ.get("IYOKAN_TK_DOTS", "split") == "split"
+    pipe_env = os.environ.get("IYOKAN_TK_PIPE", "1")
+    chains = int(os.environ.get("IYOKAN_TK_CHAINS", "2"))
+    pipe = (fat and split and not unroll
+            and (not ablate or pipe_env == "force")
+            and pipe_env != "0")
+    if pipe:
+        # small batches: shrink the block so G still fills `chains`
+        # pipeline chains (rounded to the 8-sublane i32 tile)
+        BG = min(block_g, max(8, (-(-G // chains) + 7) // 8 * 8))
+        pad = (-G) % (chains * BG)
+    else:
+        BG = min(block_g, max(8, G))
+        pad = (-G) % BG
     if pad:
         tlwe0 = jnp.concatenate(
             [tlwe0, jnp.zeros((pad, tlwe0.shape[1]), u32)], axis=0
@@ -511,24 +564,19 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     else:
         rows = abar.T
 
-    ablate = frozenset(
-        x for x in os.environ.get("IYOKAN_TK_ABLATE", "").split(",") if x
-    )
-    split = fat and os.environ.get("IYOKAN_TK_DOTS", "split") == "split"
-    # C-chain software-pipelined kernel for batches of >= C blocks
-    # (VPU work of one chain hides under another chain's matmuls).
-    # Ablations run on the serial kernel unless IYOKAN_TK_PIPE=force.
-    pipe_env = os.environ.get("IYOKAN_TK_PIPE", "1")
-    chains = int(os.environ.get("IYOKAN_TK_CHAINS", "2"))
-    if (fat and split and not unroll
-            and (not ablate or pipe_env == "force")
-            and pipe_env != "0"
-            and Gp % (chains * BG) == 0):
+    # C-chain software-pipelined kernel (VPU work of one chain hides
+    # under another chain's matmuls); ablations run on the serial kernel
+    # unless IYOKAN_TK_PIPE=force.
+    if pipe and Gp % (chains * BG) == 0:
         rows = jnp.concatenate(
             [rows, jnp.zeros((1, Gp), rows.dtype)], axis=0)
         ext8 = os.environ.get("IYOKAN_TK_EXT8", "0") == "1"
+        # K-major for small blocks: the 8 output-block dots stack along
+        # M (identical MACs/DMA), filling the MXU's 128 rows
+        kmaj_env = os.environ.get("IYOKAN_TK_KMAJ", "auto")
+        kmaj = BG < 128 if kmaj_env == "auto" else kmaj_env == "1"
         outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate, ext8,
-                                chains, lb)(rows, acc_a, acc_b, bk_tk)
+                                chains, lb, kmaj)(rows, acc_a, acc_b, bk_tk)
         return jnp.stack([outa, outb], axis=1)[:G]
     outa, outb = _call(p, Gp, BG, n_steps, L, fat, split, unroll,
                        fat2, ablate, lb)(rows, acc_a, acc_b, bk_tk)

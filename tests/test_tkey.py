@@ -138,6 +138,54 @@ def test_tkey_fat2_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
     np.testing.assert_array_equal(got_serial, want[:8])
 
 
+def test_tkey_kmaj_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
+                                               toy_sk, rng, monkeypatch):
+    """K-major small-batch mode (the 8 output-block dots stacked along
+    the matmul M dimension as negacyclic rotations of the digit
+    extension) == XLA path, bit-exact at 4 limbs, on both the fat and
+    the doubled-slab key layouts."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    bits = rng.integers(0, 2, 16, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+    want = np.asarray(ops.blind_rotate(ct, toy_dk.bkntt, testv, p,
+                                       toy_dk.backend))
+
+    # G=16, block_g=8 -> BG=8 < 128, kmaj engages under auto
+    monkeypatch.setenv("IYOKAN_TK_KMAJ", "1")
+    for layout in ("fat", "fat2"):
+        bk = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
+                                            layout=layout))
+        got = np.asarray(blind_rotate_tkey(ct, bk, testv, p, block_g=8))
+        np.testing.assert_array_equal(got, want, err_msg=layout)
+
+
+def test_tkey_kmaj_asymmetric_small_batch(toy, toy_sk, toy_ek, rng,
+                                          monkeypatch):
+    """Small odd batch (G=5 -> padded, BG=8, auto-kmaj) through the
+    asymmetric lb=2 slab decrypts NAND correctly -- exercises the
+    small-G block sizing that routes task-graph levels here."""
+    from iyokan_tpu.ops import pallas_tk
+
+    p = toy
+    bk_tk = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, 4, "fat", lb=2))
+    a = np.array([0, 0, 1, 1, 0], np.uint8)
+    b = np.array([0, 1, 0, 1, 1], np.uint8)
+    A = jnp.asarray(host.encrypt_bits(toy_sk, a, rng))
+    B = jnp.asarray(host.encrypt_bits(toy_sk, b, rng))
+    ca, cb, kk = gates.GATE_LIN[gates.NAND]
+    pre = ops.gate_linear(A, B, jnp.full((5,), ca, jnp.int32),
+                          jnp.full((5,), cb, jnp.int32),
+                          jnp.full((5,), kk, jnp.int32), p)
+    testv = jnp.full((p.N,), np.uint32(p.mu))
+    tr = pallas_tk.blind_rotate_tkey(pre, bk_tk, testv, p)
+    ph = host.trlwe1_phase(toy_sk, np.asarray(tr))[:, 0]
+    got = (np.asarray(ph) < (1 << 31)).astype(np.uint8)
+    np.testing.assert_array_equal(got, 1 - (a & b))
+
+
 def test_tkey_unrolled_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
                                                    toy_sk, rng):
     """2-bit unrolled slab key == the XLA unrolled (bku) path, bit-exact
