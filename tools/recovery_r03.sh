@@ -28,6 +28,15 @@ else
   export IYOKAN_TK_LB=3
 fi
 
+echo "=== [0b kmaj compile check] $(date) ==="
+if timeout 1800 env IYOKAN_TK_KMAJ=1 python tools/tk_compile_check.py 128 64 3 3 fat "${IYOKAN_TK_LB:-2}" \
+     2>&1 | tee -a /root/repo/TKCHECK_r03.log; then
+  echo "[kmaj kernel OK]"
+else
+  echo "[kmaj kernel FAILED -> IYOKAN_TK_KMAJ=0 for the rest]"
+  export IYOKAN_TK_KMAJ=0
+fi
+
 echo "=== [1/5 bench] $(date) ==="
 timeout 5400 python bench.py 2>&1 | tee /tmp/bench_r03.log
 grep '^{' /tmp/bench_r03.log > /root/repo/BENCH_interim_r03.json

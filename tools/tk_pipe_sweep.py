@@ -101,10 +101,15 @@ def main():
     run("pipe lb=2 ext8 (i8 concat)", 1024, {"IYOKAN_TK_EXT8": "1"})
     # small (latency-bound) batches: diamond levels average ~90 gates.
     # bk_for routes <= IYOKAN_UNROLL_MAX to the unrolled NTT key; forcing
-    # it to 0 exposes the tkey serial kernel at the same sizes.
+    # it to 0 exposes the tkey kernel at the same sizes.  kmaj (auto at
+    # BG < 128) stacks the 8 output-block dots along matmul M; the
+    # no-kmaj row isolates its contribution.
     for g in (16, 64, 256):
         run(f"small G={g} default (bku NTT path)", g, {})
-        run(f"small G={g} tkey serial", g, {"IYOKAN_UNROLL_MAX": "0"})
+        run(f"small G={g} tkey kmaj (M-stacked dots)", g,
+            {"IYOKAN_UNROLL_MAX": "0"})
+        run(f"small G={g} tkey no-kmaj", g,
+            {"IYOKAN_UNROLL_MAX": "0", "IYOKAN_TK_KMAJ": "0"})
 
 
 if __name__ == "__main__":
