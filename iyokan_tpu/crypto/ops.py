@@ -637,10 +637,12 @@ class DeviceKeys:
             # Toeplitz-slab key (host expansion + one transfer): the
             # gate-bootstrap path runs the no-NTT ops/pallas_tk kernel.
             L, lay, lb = tkey_default_config(p)
-            # 2-bit unrolled slabs (opt-in): half the sequential depth at
-            # 1.5x the matmul MACs -- a latency play for small batches,
-            # a measured throughput LOSS at large ones (232 vs 165 ms per
-            # 1024 gates, PERF.md round 2)
+            # 2-bit unrolled slabs (opt-in): per KEY BIT, 3/4 the matmul
+            # MACs and 3/4 the VPU work at half the sequential depth.
+            # Composes with the asymmetric gadget (lb) and the pipelined
+            # kernel; the round-2 "throughput loss" (232 vs 165 ms/1024
+            # gates) was the SERIAL kernel, whose per-step VPU work sits
+            # on the critical path.
             tku = (ek.bku is not None and lay == "fat"
                    and os.environ.get("IYOKAN_TK_UNROLL", "0") != "0")
             if tku:

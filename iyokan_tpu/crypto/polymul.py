@@ -1041,7 +1041,24 @@ def tkey_kernel_key(bk_u32: np.ndarray, p: Params, limbs: int = 3,
         # fat layout (2*(l+0) == l+l), so the kernel's row-count layout
         # inference would silently misread it -- reject early.
         raise ValueError(f"lb={lb} out of range: need 1 <= lb <= l={p.l}")
-    if (lb is not None and lb < p.l and bk_u32.ndim == 4
+    if bk_u32.ndim == 4 and bk_u32.shape[1] == 3 * 2 * p.l:
+        # 2-bit unrolled input (bku): rows per pair step are
+        # (m, part, j)-ordered; the asymmetric gadget drops the
+        # low b-part digits of each of the 3 products.
+        lbe = p.l if lb is None else lb
+        if 3 * (p.l + lbe) <= 4 * p.l:
+            # would collide with a fat2 row count (e.g. l=3, lb=1:
+            # 3*(3+1) == 2*(3+3)); the kernel infers fat2 there
+            raise ValueError(
+                f"unrolled slab with lb={lbe} at l={p.l} is ambiguous "
+                "with a fat2 layout; use a larger lb")
+        if lbe < p.l:
+            zu = bk_u32.reshape(bk_u32.shape[0], 3, 2 * p.l,
+                                *bk_u32.shape[2:])
+            bk_u32 = np.concatenate(
+                [zu[:, :, : p.l], zu[:, :, p.l : p.l + lbe]], axis=2
+            ).reshape(bk_u32.shape[0], 3 * (p.l + lbe), *bk_u32.shape[2:])
+    elif (lb is not None and lb < p.l and bk_u32.ndim == 4
             and bk_u32.shape[1] == 2 * p.l):
         bk_u32 = np.concatenate(
             [bk_u32[:, : p.l], bk_u32[:, p.l : p.l + lb]], axis=1

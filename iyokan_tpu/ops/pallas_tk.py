@@ -217,8 +217,8 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate, lb,
 
 
 def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
-                 kmaj, abar_ref, acca_ref, accb_ref, bk_hbm, outa_ref,
-                 outb_ref, bk_buf, sems):
+                 kmaj, unroll, abar_ref, acca_ref, accb_ref, bk_hbm,
+                 outa_ref, outb_ref, bk_buf, sems):
     """Software-pipelined fat+split kernel: C independent gate chains
     (rows [c*BG:(c+1)*BG]) interleaved so one chain's VPU work
     (rotation, decomposition, recombination) overlaps another chain's
@@ -247,7 +247,17 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
     a 64..128-row operand, which is what makes routing the task graph's
     small per-level batches to this kernel profitable.  The rotated rows
     are assembled in i32 (8x128 tiles, so BG = 8 sublane concats stay
-    tile-aligned) and cast to i8 once."""
+    tile-aligned) and cast to i8 once.
+
+    unroll consumes a key-bit PAIR per step through the 2-bit unrolled
+    key (X^(a1 s1 + a2 s2) = 1 + s1(1-s2)(X^a1 - 1) + s2(1-s1)(X^a2 - 1)
+    + s1 s2 (X^(a1+a2) - 1)): three rotate-diff digit extensions per
+    step against 3x the key rows (ordered (block, m, part, j, 128)).
+    Per KEY BIT that is 3/4 the matmul MACs and 3/4 the VPU work at half
+    the sequential depth -- a measured throughput LOSS on the serial
+    kernel (232 vs 165 ms/1024 gates, round 2: the extra per-step VPU
+    work sits on the critical path there) but a pure MAC cut here,
+    where the chains hide the VPU under the MXU."""
     N = p.N
     C = chains
     BG = acca_ref.shape[0] // C
@@ -257,6 +267,8 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
     # phase directly) -- see polymul.tkey_kernel_key
     ls = (p.l, lb)
     RR = p.l + lb
+    M = 3 if unroll else 1
+    RT = M * RR * N                  # contraction rows per step
 
     def round_off(ndig):
         o = sum((p.Bg // 2) << (32 - (j + 1) * p.Bgbit) for j in range(ndig))
@@ -264,7 +276,7 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
         return u32(o & 0xFFFFFFFF)
 
     offs = (round_off(p.l), round_off(lb))
-    grp = RR * 128
+    grp = M * RR * 128
 
     from ..crypto import ops as cops
 
@@ -274,31 +286,36 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
 
     dma(0, 0).start()
 
-    def ext_of(pa, pb, r):
+    def ext_of(pa, pb, rs):
         """Rotate-diff + gadget decomposition -> interleaved +d digit
-        extension [BG, RR*N] (lanes ordered (block, part, j, 128)).
-        i8 normally; i32 under kmaj (the rotated-row assembly negates
-        and concatenates in i32 before one final i8 cast)."""
-        if "rot" in ablate:
-            xs = (pa + pa + offs[0], pb + pb + offs[1])
-        else:
-            xs = (cops.rot_poly(pa, r, N) - pa + offs[0],
-                  cops.rot_poly(pb, r, N) - pb + offs[1])
+        extension [BG, M*RR*N] (lanes ordered (block, m, part, j, 128),
+        matching the key rows; rs = M rotation rows).  i8 normally; i32
+        under kmaj (the rotated-row assembly negates and concatenates
+        in i32 before one final i8 cast)."""
+        xs = []
+        for m in range(M):
+            if "rot" in ablate:
+                xs.append((pa + pa + offs[0], pb + pb + offs[1]))
+            else:
+                xs.append((cops.rot_poly(pa, rs[m], N) - pa + offs[0],
+                           cops.rot_poly(pb, rs[m], N) - pb + offs[1]))
         if "decompose" in ablate:
-            w = xs[0][:, :1].astype(i32) & 31
+            w = xs[0][0][:, :1].astype(i32) & 31
             return jnp.broadcast_to(w if kmaj else w.astype(i8),
-                                    (xs[0].shape[0], RR * N))
+                                    (pa.shape[0], RT))
         pieces = []
         for b in range(NB):
-            for part in range(2):
-                xp = xs[part][:, 128 * b:128 * (b + 1)]
-                for j in range(ls[part]):
-                    sh = 32 - (j + 1) * p.Bgbit
-                    w = (((xp >> u32(sh)) & u32(p.Bg - 1)).astype(i32)
-                         - p.Bg // 2)
-                    # ext8: cast per piece so the concat copies i8, not
-                    # i32 (4x less VMEM traffic on the hot path)
-                    pieces.append(w.astype(i8) if ext8 and not kmaj else w)
+            for m in range(M):
+                for part in range(2):
+                    xp = xs[m][part][:, 128 * b:128 * (b + 1)]
+                    for j in range(ls[part]):
+                        sh = 32 - (j + 1) * p.Bgbit
+                        w = (((xp >> u32(sh)) & u32(p.Bg - 1)).astype(i32)
+                             - p.Bg // 2)
+                        # ext8: cast per piece so the concat copies i8,
+                        # not i32 (4x less VMEM traffic on the hot path)
+                        pieces.append(w.astype(i8) if ext8 and not kmaj
+                                      else w)
         out = jnp.concatenate(pieces, axis=-1)
         if kmaj:
             return out
@@ -319,11 +336,11 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
             # rotated left by cut (equals the split two-dot form).
             # A fat2 key's second copy IS the plain slab; use it so
             # both key layouts ride the same math.
-            bkp = bk[RR * N:] if fat2 else bk
+            bkp = bk[RT:] if fat2 else bk
             rows = []
             for K in range(NB):
                 cut = grp * (K + 1)
-                if cut < RR * N:
+                if cut < RT:
                     rows.append(jnp.concatenate(
                         [ext[:, cut:], -ext[:, :cut]], axis=-1))
                 else:
@@ -336,11 +353,11 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
         for K in range(NB):
             cut = grp * (K + 1)
             if fat2:
-                s = mm(ext, bk[RR * N - cut:2 * RR * N - cut])
+                s = mm(ext, bk[RT - cut:2 * RT - cut])
             else:
-                s = -mm(ext[:, :cut], bk[RR * N - cut:])
-                if cut < RR * N:
-                    s = s + mm(ext[:, cut:], bk[:RR * N - cut])
+                s = -mm(ext[:, :cut], bk[RT - cut:])
+                if cut < RT:
+                    s = s + mm(ext[:, cut:], bk[:RT - cut])
             ss.append(s)
         return ss
 
@@ -383,25 +400,27 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
                 # chain C-1's dots of step i-1 (carried); its step-i ext
                 # is built here, a window before dots[C-1](i) needs it
                 ua, ub = recomb(tuple(ss_last))
-                r = abar_ref[i, rows_of(prev)]
+                rs = [abar_ref[M * i + m, rows_of(prev)] for m in range(M)]
             else:
                 # chain prev's dots were issued one window ago (step i);
-                # row n_steps of abar is a zero pad so the final
+                # rows M*n_steps.. of abar are a zero pad so the final
                 # iteration's lookahead stays in bounds
                 ua, ub = recomb(ss[prev])
-                r = abar_ref[i + 1, rows_of(prev)]
+                rs = [abar_ref[M * (i + 1) + m, rows_of(prev)]
+                      for m in range(M)]
             accs[2 * prev] = accs[2 * prev] + ua
             accs[2 * prev + 1] = accs[2 * prev + 1] + ub
-            exts[prev] = ext_of(accs[2 * prev], accs[2 * prev + 1], r)
+            exts[prev] = ext_of(accs[2 * prev], accs[2 * prev + 1], rs)
         return tuple(accs), tuple(exts), tuple(ss[C - 1])
 
     accs0 = []
     for c in range(C):
         accs0 += [acca_ref[rows_of(c)], accb_ref[rows_of(c)]]
     exts0 = [
-        ext_of(accs0[2 * c], accs0[2 * c + 1], abar_ref[0, rows_of(c)])
+        ext_of(accs0[2 * c], accs0[2 * c + 1],
+               [abar_ref[m, rows_of(c)] for m in range(M)])
         if c < C - 1 else
-        jnp.zeros((BG, RR * N), i32 if kmaj else i8)  # built in window 0
+        jnp.zeros((BG, RT), i32 if kmaj else i8)     # built in window 0
         for c in range(C)
     ]
     ss0 = [jnp.zeros((BG, 2 * L * 128), i32) for _ in range(NB)]
@@ -419,18 +438,19 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
 def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
                fat2: bool = False, ablate: frozenset = frozenset(),
                ext8: bool = False, chains: int = 2, lb: int = None,
-               kmaj: bool = False):
+               kmaj: bool = False, unroll: bool = False):
     if lb is None:
         lb = p.l
     kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2, ablate,
-                               ext8, chains, lb, kmaj)
+                               ext8, chains, lb, kmaj, unroll)
+    M = 3 if unroll else 1
     part_spec = pl.BlockSpec((chains * BG, p.N), lambda g: (g, 0),
                              memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(G // (chains * BG),),
         in_specs=[
-            pl.BlockSpec((n_steps + 1, chains * BG), lambda g: (0, g),
+            pl.BlockSpec((M * (n_steps + 1), chains * BG), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
             part_spec,
             part_spec,
@@ -441,7 +461,7 @@ def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
                    jax.ShapeDtypeStruct((G, p.N), u32)),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, (2 if fat2 else 1) * (p.l + lb) * p.N, 2 * L * 128),
+                (2, (2 if fat2 else 1) * M * (p.l + lb) * p.N, 2 * L * 128),
                 i8),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -495,20 +515,31 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
                       testv: jnp.ndarray, p: Params,
                       block_g: int = None) -> jnp.ndarray:
     """Drop-in for ops.blind_rotate given a tkey-layout key: int8
-    [n, 2l, N, 2*L*128] (thin), [n, 2l*N, 2*L*128] (fat), or the 2-bit
-    unrolled fat key [ceil(n/2), 3*2l*N, 2*L*128], all from
-    crypto/polymul.tkey_kernel_key."""
+    [n, l+lb, N, 2*L*128] (thin), [n, (l+lb)*N, 2*L*128] (fat),
+    [n, 2*(l+lb)*N, 2*L*128] (fat2, doubled slab), or the 2-bit
+    unrolled fat key [ceil(n/2), 3*(l+lb)*N, 2*L*128], all from
+    crypto/polymul.tkey_kernel_key (lb = l when symmetric)."""
     from ..crypto import ops as cops
 
     fat = bk_tk.ndim == 3
     if fat:
-        # row count encodes layout + gadget asymmetry:
-        # 3*2l = unrolled, 2*(l+lb) = fat2 (doubled slab), l+lb = fat
+        # row count encodes layout + gadget asymmetry: fat = l+lb rows
+        # per step (<= 2l), fat2 (doubled slab) = 2(l+lb), 2-bit
+        # unrolled = 3(l+lb).  The ranges only collide where
+        # 3(l+lb) == 2(l+lb') (e.g. l=3: unroll lb=1 vs fat2 lb=3);
+        # fat2 wins and tkey_kernel_key refuses to BUILD the ambiguous
+        # unrolled variant.
         rr = bk_tk.shape[1] // p.N
-        unroll = rr == 6 * p.l
-        # plain fat rr = l+lb <= 2l; doubled slab (fat2) rr = 2(l+lb) > 2l
-        fat2 = not unroll and rr > 2 * p.l
-        lb = p.l if unroll else (rr // 2 if fat2 else rr) - p.l
+        unroll = fat2 = False
+        if 1 <= rr - p.l <= p.l:
+            lb = rr - p.l
+        elif rr % 2 == 0 and 1 <= rr // 2 - p.l <= p.l:
+            fat2, lb = True, rr // 2 - p.l
+        elif rr % 3 == 0 and 1 <= rr // 3 - p.l <= p.l:
+            unroll, lb = True, rr // 3 - p.l
+        else:
+            raise ValueError(
+                f"cannot infer tkey layout from {rr} rows/step at l={p.l}")
     else:
         rr = bk_tk.shape[1]
         unroll = False
@@ -525,7 +556,7 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     split = fat and os.environ.get("IYOKAN_TK_DOTS", "split") == "split"
     pipe_env = os.environ.get("IYOKAN_TK_PIPE", "1")
     chains = int(os.environ.get("IYOKAN_TK_CHAINS", "2"))
-    pipe = (fat and split and not unroll
+    pipe = (fat and split
             and (not ablate or pipe_env == "force")
             and pipe_env != "0")
     if pipe:
@@ -568,15 +599,19 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     # under another chain's matmuls); ablations run on the serial kernel
     # unless IYOKAN_TK_PIPE=force.
     if pipe and Gp % (chains * BG) == 0:
+        # one step's worth of zero pad rows for the final iteration's
+        # lookahead (M = 3 rotation rows per step when unrolled)
+        M = 3 if unroll else 1
         rows = jnp.concatenate(
-            [rows, jnp.zeros((1, Gp), rows.dtype)], axis=0)
+            [rows, jnp.zeros((M, Gp), rows.dtype)], axis=0)
         ext8 = os.environ.get("IYOKAN_TK_EXT8", "0") == "1"
         # K-major for small blocks: the 8 output-block dots stack along
         # M (identical MACs/DMA), filling the MXU's 128 rows
         kmaj_env = os.environ.get("IYOKAN_TK_KMAJ", "auto")
         kmaj = BG < 128 if kmaj_env == "auto" else kmaj_env == "1"
         outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate, ext8,
-                                chains, lb, kmaj)(rows, acc_a, acc_b, bk_tk)
+                                chains, lb, kmaj,
+                                unroll)(rows, acc_a, acc_b, bk_tk)
         return jnp.stack([outa, outb], axis=1)[:G]
     outa, outb = _call(p, Gp, BG, n_steps, L, fat, split, unroll,
                        fat2, ablate, lb)(rows, acc_a, acc_b, bk_tk)

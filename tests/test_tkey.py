@@ -187,23 +187,60 @@ def test_tkey_kmaj_asymmetric_small_batch(toy, toy_sk, toy_ek, rng,
 
 
 def test_tkey_unrolled_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
-                                                   toy_sk, rng):
+                                                   toy_sk, rng, monkeypatch):
     """2-bit unrolled slab key == the XLA unrolled (bku) path, bit-exact
-    at 4 limbs: same pair-step algebra, matmul form."""
+    at 4 limbs, on BOTH the serial and the pipelined kernels: same
+    pair-step algebra, matmul form."""
     from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
 
     p = toy
     assert toy_dk.bkuntt is not None
-    bits = rng.integers(0, 2, 8, dtype=np.uint8)
+    bits = rng.integers(0, 2, 16, dtype=np.uint8)
     ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
     testv = jnp.full((p.N,), jnp.uint32(p.mu))
 
     bku = toy_ek.bku.reshape(toy_ek.bku.shape[0], 6 * p.l, 2, p.N)
     bk_tk = jnp.asarray(pm.tkey_kernel_key(bku, p, limbs=4, layout="fat"))
-    got = np.asarray(blind_rotate_tkey(ct, bk_tk, testv, p, block_g=8))
     want = np.asarray(ops.blind_rotate(ct, toy_dk.bkuntt, testv, p,
                                        toy_dk.backend))
-    np.testing.assert_array_equal(got, want)
+    for pipe in ("0", "1"):
+        monkeypatch.setenv("IYOKAN_TK_PIPE", pipe)
+        got = np.asarray(blind_rotate_tkey(ct, bk_tk, testv, p, block_g=8))
+        np.testing.assert_array_equal(got, want, err_msg=f"pipe={pipe}")
+
+
+def test_tkey_unrolled_asymmetric_gates(toy, toy_sk, toy_ek, rng,
+                                        monkeypatch):
+    """Unrolled slab + asymmetric gadget (lb < l, dropped low b-part
+    digits of each of the 3 pair products): NAND decrypts correctly
+    through the pipelined kernel, and the ambiguous lb is refused."""
+    from iyokan_tpu.ops import pallas_tk
+
+    p = toy
+    lb = max(1, p.l - 1)
+    bku = toy_ek.bku.reshape(toy_ek.bku.shape[0], 6 * p.l, 2, p.N)
+    bk_tk = jnp.asarray(pm.tkey_kernel_key(bku, p, 4, "fat", lb=lb))
+    assert bk_tk.shape[1] == 3 * (p.l + lb) * p.N
+
+    a = np.array([0, 0, 1, 1] * 4, np.uint8)
+    b = np.array([0, 1, 0, 1] * 4, np.uint8)
+    A = jnp.asarray(host.encrypt_bits(toy_sk, a, rng))
+    B = jnp.asarray(host.encrypt_bits(toy_sk, b, rng))
+    ca, cb, kk = gates.GATE_LIN[gates.NAND]
+    pre = ops.gate_linear(A, B, jnp.full((16,), ca, jnp.int32),
+                          jnp.full((16,), cb, jnp.int32),
+                          jnp.full((16,), kk, jnp.int32), p)
+    testv = jnp.full((p.N,), np.uint32(p.mu))
+    monkeypatch.setenv("IYOKAN_PALLAS_BG", "8")
+    tr = pallas_tk.blind_rotate_tkey(pre, bk_tk, testv, p)
+    ph = host.trlwe1_phase(toy_sk, np.asarray(tr))[:, 0]
+    got = (np.asarray(ph) < (1 << 31)).astype(np.uint8)
+    np.testing.assert_array_equal(got, 1 - (a & b))
+
+    # l=3, lb=1 collides with fat2's row count -> build must refuse
+    if p.l == 3:
+        with pytest.raises(ValueError, match="ambiguous"):
+            pm.tkey_kernel_key(bku, p, 4, "fat", lb=1)
 
 
 def test_stale_unquantized_key_warns(toy, toy_sk, monkeypatch):

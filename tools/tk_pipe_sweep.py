@@ -99,6 +99,16 @@ def main():
         {"IYOKAN_TK_LB": "3", "IYOKAN_TK_CHAINS": "4",
          "IYOKAN_PALLAS_BG": "256"})
     run("pipe lb=2 ext8 (i8 concat)", 1024, {"IYOKAN_TK_EXT8": "1"})
+    # 2-bit unrolled slab in the PIPE kernel: per key bit 3/4 the MACs
+    # and 3/4 the VPU work at half the depth (the round-2 loss was the
+    # serial kernel).  MXU floor drops ~72 -> ~54 ms/1024 gates.
+    run("pipe UNROLLED lb=2 (3/4 MACs)", 1024, {"IYOKAN_TK_UNROLL": "1"})
+    run("pipe UNROLLED lb=2 4 chains BG=256", 1024,
+        {"IYOKAN_TK_UNROLL": "1", "IYOKAN_TK_CHAINS": "4",
+         "IYOKAN_PALLAS_BG": "256"})
+    run("pipe UNROLLED lb=3 (full gadget)", 1024,
+        {"IYOKAN_TK_UNROLL": "1", "IYOKAN_TK_LB": "3"})
+    run("pipe UNROLLED lb=2 G=2048", 2048, {"IYOKAN_TK_UNROLL": "1"})
     # small (latency-bound) batches: diamond levels average ~90 gates.
     # bk_for routes <= IYOKAN_UNROLL_MAX to the unrolled NTT key; forcing
     # it to 0 exposes the tkey kernel at the same sizes.  kmaj (auto at
