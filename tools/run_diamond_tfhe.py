@@ -58,13 +58,24 @@ def main():
     fe = Frontend("tfhe", bp, enc, eval_key=ek)
     print(f"frontend built ({time.time()-t0:.1f}s)", flush=True)
 
+    # First cycle pays every jit compile (tens of seconds per level group
+    # through the remote tunnel, persistent-cached across runs); steady
+    # state is what a long CPU run actually costs per cycle, and matches
+    # how round 1's 7.0 s/cycle was measured (warm compile cache).
     t0 = time.time()
-    fe.go(CYCLES)
-    total = time.time() - t0
+    fe.go(1)
+    first_s = time.time() - t0
+    t0 = time.time()
+    if CYCLES > 1:
+        fe.go(CYCLES - 1)
+    steady_total = time.time() - t0
+    total = first_s + steady_total
+    steady = steady_total / (CYCLES - 1) if CYCLES > 1 else first_s
     nboots = sum(p.n_bootstraps for p in fe.compiled.levels)
     print(f"{CYCLES} encrypted cycles in {total:.1f}s "
-          f"({total/CYCLES:.2f}s/cycle, {nboots} bootstraps/cycle -> "
-          f"{nboots*CYCLES/total:.0f} effective bootstraps/s)", flush=True)
+          f"(first cycle {first_s:.1f}s incl. compiles; steady state "
+          f"{steady:.2f}s/cycle, {nboots} bootstraps/cycle -> "
+          f"{nboots/steady:.0f} effective bootstraps/s)", flush=True)
 
     if os.environ.get("DIAMOND_STAGES", "1") != "0":
         # one extra (discarded) settle with per-stage sync timers: where a
@@ -90,8 +101,9 @@ def main():
     ok = normalize(res) == normalize(want)
     import json
     print(json.dumps({
-        "metric": "diamond_sec_per_cycle", "value": round(total / CYCLES, 3),
+        "metric": "diamond_sec_per_cycle", "value": round(steady, 3),
         "unit": "s/cycle", "cycles": CYCLES,
+        "first_cycle_s": round(first_s, 1), "total_s": round(total, 1),
         "bootstraps_per_cycle": nboots, "match": ok,
         "fuse": os.environ.get("IYOKAN_FUSE_LEVELS", "8"),
     }), flush=True)
