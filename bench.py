@@ -62,7 +62,7 @@ def config_snapshot():
     """The knobs that determine what this bench actually measured."""
     cfg = {
         "params": os.environ.get("BENCH_PARAMS", "cggi128"),
-        "G": int(os.environ.get("BENCH_G", "1024")),
+        "G": int(os.environ.get("BENCH_G", "2048")),
         "reps": int(os.environ.get("BENCH_REPS", "3")),
     }
     for k, v in sorted(os.environ.items()):
@@ -116,7 +116,9 @@ def run_gate_bench():
     from iyokan_tpu.crypto import host, ops
 
     pname = os.environ.get("BENCH_PARAMS", "cggi128")
-    G = int(os.environ.get("BENCH_G", "1024"))
+    # G=2048 (two grid blocks) amortizes fixed dispatch cost: +4-6% over
+    # G=1024 on device (SWEEP_r03.log)
+    G = int(os.environ.get("BENCH_G", "2048"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     p = params_mod.by_name(pname)
 
