@@ -37,6 +37,46 @@ from ..parallel.mesh import replicated, shard_batch
 
 I32 = jnp.int32
 
+# Transient failures of a remote-attached runtime (the axon tunnel's
+# remote compiler returns HTTP 500s / closed response bodies / UNAVAILABLE
+# under load).  A jitted call is pure and donates nothing, so re-invoking
+# after a short backoff is safe; genuine trace/shape errors are not
+# JaxRuntimeError-INTERNAL/UNAVAILABLE and re-raise immediately.
+_TRANSIENT_MARKS = ("remote_compile", "UNAVAILABLE", "read body",
+                    "DEADLINE_EXCEEDED", "Socket closed")
+
+
+def _jit(fn, **kw):
+    """jax.jit whose calls retry on transient runtime/compile failures.
+
+    IYOKAN_JIT_RETRIES (default 3) attempts, IYOKAN_JIT_BACKOFF (default
+    20) seconds between them; set retries to 1 to disable.
+    """
+    import os
+    import time
+
+    jf = jax.jit(fn, **kw)
+
+    @functools.wraps(fn)
+    def call(*a, **k):
+        retries = max(1, int(os.environ.get("IYOKAN_JIT_RETRIES", "3")))
+        for i in range(retries):
+            try:
+                return jf(*a, **k)
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                if i + 1 >= retries or not any(m in msg
+                                               for m in _TRANSIENT_MARKS):
+                    raise
+                back = float(os.environ.get("IYOKAN_JIT_BACKOFF", "20"))
+                print(f"[WARN] transient runtime failure (attempt "
+                      f"{i + 1}/{retries}, retrying in {back:.0f}s): "
+                      f"{msg.splitlines()[0][:200]}", flush=True)
+                time.sleep(back)
+
+    call.lower = jf.lower          # dryrun/tests introspect the jitted fn
+    return call
+
 
 class TFHEEngine:
     def __init__(self, compiled: Compiled, eval_key: host.EvalKey):
@@ -52,7 +92,7 @@ class TFHEEngine:
                 "circuit-bootstrapping material (generate with with_cb=True)"
             )
         self.keys = ops.DeviceKeys.from_evalkey(eval_key, with_cb=needs_cb)
-        self._tick = jax.jit(self._tick_impl)
+        self._tick = _jit(self._tick_impl)
         # jitted entry points take the keys as arguments (pytree), never as
         # closure constants -- see DeviceKeys.
         #
@@ -148,7 +188,7 @@ class TFHEEngine:
     def _level_fn(self, nb: int, nm: int):
         key = (nb, nm)
         if key not in self._level_fns:
-            fn = jax.jit(functools.partial(self._level_body, nb, nm))
+            fn = _jit(functools.partial(self._level_body, nb, nm))
             self._level_fns[key] = fn
         return self._level_fns[key]
 
@@ -179,7 +219,7 @@ class TFHEEngine:
                         vals = vals.at[co].set(vals[cs])
                 return vals
 
-            self._level_fns[key] = jax.jit(fn)
+            self._level_fns[key] = _jit(fn)
         return self._level_fns[key]
 
     def _group_plans(self, max_group: int):
@@ -283,7 +323,7 @@ class TFHEEngine:
                     dict(zip(rom_names, rom_vals)),
                 )
 
-            self._mem_fns[key] = jax.jit(fn)
+            self._mem_fns[key] = _jit(fn)
         return self._mem_fns[key]
 
     def _scan_fn(self, ram_names: tuple, rom_names: tuple, in_nodes: tuple):
@@ -312,7 +352,7 @@ class TFHEEngine:
                 )
                 return vals, ram_vals
 
-            self._mem_fns[key] = jax.jit(fn)
+            self._mem_fns[key] = _jit(fn)
         return self._mem_fns[key]
 
     def run_cycles(self, vals, rams, roms, in_nodes, in_rows):
@@ -343,7 +383,7 @@ class TFHEEngine:
         """NOT gates + copies of a level (cheap, one shared jit)."""
         if "simple" not in self._level_fns:
 
-            @jax.jit
+            @_jit
             def fn(vals, not_src, not_out, copy_src, copy_out):
                 vals = vals.at[not_out].set(u32(0) - vals[not_src])
                 return vals.at[copy_out].set(vals[copy_src])
@@ -458,7 +498,7 @@ class TFHEEngine:
         key = ("cb", nodes)
         if key not in self._mem_fns:
             arr = np.asarray(nodes, np.int32)
-            self._mem_fns[key] = jax.jit(
+            self._mem_fns[key] = _jit(
                 lambda keys, vals: self._cb_pairs(keys, vals, arr)
             )
         return self._mem_fns[key]
@@ -597,7 +637,7 @@ class TFHEEngine:
     def _ram_write_fn(self, names: tuple):
         key = ("ram_write_all", names)
         if key not in self._mem_fns:
-            self._mem_fns[key] = jax.jit(
+            self._mem_fns[key] = _jit(
                 functools.partial(self._ram_write_all, names)
             )
         return self._mem_fns[key]
@@ -607,9 +647,9 @@ class TFHEEngine:
         key = (kind, name)
         if key not in self._mem_fns:
             if kind == "rom":
-                fn = jax.jit(functools.partial(self._rom_read, name=name))
+                fn = _jit(functools.partial(self._rom_read, name=name))
             else:
-                fn = jax.jit(functools.partial(self._ram_read, name=name))
+                fn = _jit(functools.partial(self._ram_read, name=name))
             self._mem_fns[key] = fn
         return self._mem_fns[key]
 
