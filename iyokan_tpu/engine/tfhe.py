@@ -464,7 +464,12 @@ class TFHEEngine:
         return np.asarray(store).reshape(a * w, 2, store.shape[-1])
 
     def block_until_ready(self, vals):
+        # jax's block_until_ready returns without waiting on the remote
+        # (axon) runtime, which hides whole cycles of compute from wall
+        # timers; fetching one element forces real completion on every
+        # backend (a 4-byte transfer, ~one round trip per call).
         vals.block_until_ready()
+        np.asarray(jax.device_get(vals[0, 0]))
 
     # ------------------------------------------------------------------ #
     def _tick_impl(self, vals):
