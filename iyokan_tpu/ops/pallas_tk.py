@@ -472,6 +472,52 @@ def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
     )
 
 
+def _probe_compile(p: Params, Gp: int, BG: int, n_steps: int, L: int,
+                   fat2: bool, ext8: bool, chains: int, lb: int,
+                   unroll: bool, bk_shape: tuple):
+    """Compile the kmaj kernel standalone (abstract inputs, no execution).
+
+    Mosaic compiles a Pallas kernel deterministically from its own module,
+    independent of the surrounding XLA program, so a standalone compile
+    success/failure predicts the embedded one.  Raises on compile failure."""
+    import jax
+
+    if (os.environ.get("IYOKAN_PALLAS_INTERPRET")
+            or os.environ.get("IYOKAN_TK_KMAJ_PRECHECK") == "0"):
+        return
+    M = 3 if unroll else 1
+    call = _call_pipe(p, Gp, BG, n_steps, L, fat2, frozenset(), ext8,
+                      chains, lb, True, unroll)
+    rows = jax.ShapeDtypeStruct((M * (n_steps + 1), Gp), jnp.int32)
+    acc = jax.ShapeDtypeStruct((Gp, p.N), u32)
+    bk = jax.ShapeDtypeStruct(bk_shape, jnp.int8)
+    jax.jit(call).lower(rows, acc, acc, bk).compile()
+
+
+@functools.lru_cache(maxsize=None)
+def _kmaj_compile_ok(p: Params, Gp: int, BG: int, n_steps: int, L: int,
+                     fat2: bool, ext8: bool, chains: int, lb: int,
+                     unroll: bool, bk_shape: tuple) -> bool:
+    """Per-shape guard for the kmaj small-batch mode: some shapes fail
+    Mosaic compilation (G=256/BG=128 at cggi128, SMALLG_r03.log), and a
+    production engine must reroute INSIDE the library rather than via an
+    external watcher script.  Cached per shape; the probe costs one
+    standalone kernel compile (~6-10 s at small G on device)."""
+    try:
+        _probe_compile(p, Gp, BG, n_steps, L, fat2, ext8, chains, lb,
+                       unroll, bk_shape)
+        return True
+    except Exception as e:  # noqa: BLE001 - any compile failure reroutes
+        import warnings
+
+        warnings.warn(
+            f"kmaj tkey kernel fails to compile at (G={Gp}, BG={BG}, "
+            f"chains={chains}, lb={lb}, unroll={unroll}): "
+            f"{str(e).splitlines()[0][:200]} -- rerouting this shape to "
+            "the standard pipelined kernel")
+        return False
+
+
 @functools.lru_cache(maxsize=None)
 def _call(p: Params, G: int, BG: int, n_steps: int, L: int, fat: bool,
           split: bool, unroll: bool = False, fat2: bool = False,
@@ -609,6 +655,10 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
         # M (identical MACs/DMA), filling the MXU's 128 rows
         kmaj_env = os.environ.get("IYOKAN_TK_KMAJ", "auto")
         kmaj = BG < 128 if kmaj_env == "auto" else kmaj_env == "1"
+        if kmaj:
+            # some shapes fail Mosaic compilation; pre-check and reroute
+            kmaj = _kmaj_compile_ok(p, Gp, BG, n_steps, L, fat2, ext8,
+                                    chains, lb, unroll, bk_tk.shape)
         outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate, ext8,
                                 chains, lb, kmaj,
                                 unroll)(rows, acc_a, acc_b, bk_tk)

@@ -186,6 +186,48 @@ def test_tkey_kmaj_asymmetric_small_batch(toy, toy_sk, toy_ek, rng,
     np.testing.assert_array_equal(got, 1 - (a & b))
 
 
+def test_tkey_kmaj_compile_failure_reroutes(toy, toy_ek, toy_dk, toy_sk,
+                                            rng, monkeypatch):
+    """A kmaj kernel shape that fails Mosaic compilation (G=256/BG=128 at
+    cggi128, SMALLG_r03.log) must reroute to the standard pipelined kernel
+    INSIDE blind_rotate_tkey -- not via an external watcher script.  The
+    probe failure is simulated; the reroute must still produce the exact
+    blind-rotation result and warn once."""
+    import warnings
+
+    from iyokan_tpu.ops import pallas_tk
+
+    p = toy
+    bits = rng.integers(0, 2, 16, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+    want = np.asarray(ops.blind_rotate(ct, toy_dk.bkntt, testv, p,
+                                       toy_dk.backend))
+    bk = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
+                                        layout="fat"))
+
+    def boom(*a, **k):
+        raise RuntimeError("MosaicError: simulated compile failure")
+
+    monkeypatch.setattr(pallas_tk, "_probe_compile", boom)
+    monkeypatch.setenv("IYOKAN_TK_KMAJ", "1")     # force the failing mode
+    pallas_tk._kmaj_compile_ok.cache_clear()
+    try:
+        with warnings.catch_warnings(record=True) as ws:
+            warnings.simplefilter("always")
+            got = np.asarray(
+                pallas_tk.blind_rotate_tkey(ct, bk, testv, p, block_g=8))
+        np.testing.assert_array_equal(got, want)
+        assert any("rerouting" in str(w.message) for w in ws), (
+            [str(w.message) for w in ws])
+        # the verdict is cached: a second call must not re-probe
+        got2 = np.asarray(
+            pallas_tk.blind_rotate_tkey(ct, bk, testv, p, block_g=8))
+        np.testing.assert_array_equal(got2, want)
+    finally:
+        pallas_tk._kmaj_compile_ok.cache_clear()
+
+
 def test_tkey_unrolled_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
                                                    toy_sk, rng, monkeypatch):
     """2-bit unrolled slab key == the XLA unrolled (bku) path, bit-exact

@@ -8,10 +8,21 @@ and compares the normalized TOML against the golden output.
 Usage:
   python tools/run_tests.py [tags...]        e.g. fast | plain | tfhe | NAME
   --params toy|cggi128   parameter set for tfhe tests (default cggi128)
-  --repeat N             repeat the selected set N times (shuffled each run)
+  --repeat N             repeat the selected set N times
   --fixtures DIR         fixture root (default /root/reference/test)
+  --order shuffle|cheap  run order: shuffled (reference test.rb:379 parity,
+                         the default) or deterministic cheapest-first (device
+                         runs: an expensive test first can eat the whole
+                         session window, round-3 registry record)
+  --retries N            attempts per test (default 1; device runs should
+                         pass 2+ -- the remote runtime fails transiently)
+  --resume-from FILE     previous --results-json record: tests already green
+                         there (same params) are skipped and carried over,
+                         so the record accumulates across session windows
 
-Keys are generated once and cached next to the work dir.
+Keys are generated once and cached next to the work dir.  With
+--results-json the record is flushed after EVERY test, so a killed session
+still leaves a resumable record.
 """
 
 import argparse
@@ -61,8 +72,9 @@ class Runner:
                 "--out", self.bkey, "--seed", "1"])
 
     # ------------------------------------------------------------------ #
-    def add(self, name, tags, fn):
-        self.tests.append({"name": name, "tags": set(tags) | {name}, "fn": fn})
+    def add(self, name, tags, fn, cost=1.0):
+        self.tests.append({"name": name, "tags": set(tags) | {name},
+                           "fn": fn, "cost": cost})
 
     def _compare(self, res_path, out_file):
         from iyokan_tpu import packet as pm
@@ -86,7 +98,7 @@ class Runner:
         self.add("plain-" + name, set(tags) | {"plain", "fast"}, fn)
 
     def add_tfhe(self, name, blueprint, in_file, out_file, ncycles,
-                 tags=()):
+                 tags=(), cost=1.0):
         def fn():
             self.ensure_keys()
             sh(["iyokan_tpu.cli.packet_cli", "toml2packet",
@@ -101,46 +113,75 @@ class Runner:
                 "--in", self.res, "--out", self.res])
             self._compare(self.res, out_file)
 
-        self.add("tfhe-" + name, set(tags) | {"tfhe"}, fn)
+        self.add("tfhe-" + name, set(tags) | {"tfhe"}, fn, cost=cost)
 
     def add_in_out(self, name, blueprint, in_file, out_file, ncycles,
                    plain_ncycles=None, tfhe=True, plain_tags=(),
-                   tfhe_tags=()):
+                   tfhe_tags=(), tfhe_cost=None):
         self.add_plain(name, blueprint, in_file, out_file,
                        ncycles=(-1 if plain_ncycles is None
                                 else plain_ncycles), tags=plain_tags)
         if tfhe:
+            # cost = rough encrypted work units (~bootstraps across the
+            # run) used only for the deterministic cheap-first order
             self.add_tfhe(name, blueprint, in_file, out_file, ncycles,
-                          tags=tfhe_tags)
+                          tags=tfhe_tags,
+                          cost=(tfhe_cost if tfhe_cost is not None
+                                else float(max(ncycles, 1))))
 
     def select(self, tags):
         return [t for t in self.tests
                 if all(tag in t["tags"] for tag in tags)]
 
-    def run(self, tags, repeat):
+    def run(self, tags, repeat, order="shuffle", retries=1, skip_ok=(),
+            flush=None):
         sel = self.select(tags)
         print(f"[{len(sel)} TESTS SELECTED ({tags})] "
               + ", ".join(t["name"] for t in sel))
         failed = []
         self.results = []
+        carried = [nm for nm in skip_ok
+                   if any(t["name"] == nm for t in sel)]
+        for nm in carried:
+            print(f"Test {nm} SKIPPED (green in --resume-from record)")
+            self.results.append({"name": nm, "ok": True, "seconds": 0.0,
+                                 "resumed": True})
+        if flush and carried:
+            flush(failed)
         for it in range(repeat):
-            random.shuffle(sel)
+            if order == "cheap":
+                # deterministic cheapest-first: a session window that dies
+                # mid-run still banks the maximum number of green tests
+                sel.sort(key=lambda t: (t["cost"], t["name"]))
+            else:
+                random.shuffle(sel)
             for t in sel:
+                if t["name"] in carried:
+                    continue
                 start = time.time()
-                print(f"Test {t['name']} running...", flush=True)
-                try:
-                    t["fn"]()
-                    print(f"Test {t['name']} done."
-                          f" ({time.time() - start:.1f} sec.)")
-                    ok = True
-                except Exception as e:  # noqa: BLE001
-                    print(f"Test {t['name']} FAILED: {e}")
+                ok = False
+                for attempt in range(1, retries + 1):
+                    print(f"Test {t['name']} running"
+                          + (f" (attempt {attempt}/{retries})"
+                             if attempt > 1 else "") + "...", flush=True)
+                    try:
+                        t["fn"]()
+                        print(f"Test {t['name']} done."
+                              f" ({time.time() - start:.1f} sec.)")
+                        ok = True
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        print(f"Test {t['name']} FAILED"
+                              f" (attempt {attempt}/{retries}): {e}",
+                              flush=True)
+                if not ok:
                     failed.append(t["name"])
-                    ok = False
                 self.results.append({
                     "name": t["name"], "ok": ok,
                     "seconds": round(time.time() - start, 2),
                 })
+                if flush:
+                    flush(failed)
         return failed
 
 
@@ -169,18 +210,26 @@ def register(r: Runner):
         _add_in_out(name, bp, *a, **kw)
 
     r.add_in_out = guarded
+    # tfhe_cost = rough expected device seconds at cggi128 (round-3
+    # records; ordering only, --order cheap)
     r.add_in_out("cahp-diamond-00", "config-toml/cahp-diamond.toml",
-                 "in/test00.in", "out/test00-diamond.out", ncycles=8)
+                 "in/test00.in", "out/test00-diamond.out", ncycles=8,
+                 tfhe_cost=120)
     r.add_in_out("cahp-ruby-09", "config-toml/cahp-ruby.toml",
-                 "in/test09.in", "out/test09-ruby.out", ncycles=7)
+                 "in/test09.in", "out/test09-ruby.out", ncycles=7,
+                 tfhe_cost=110)
     r.add_in_out("cahp-pearl-09", "config-toml/cahp-pearl.toml",
-                 "in/test09.in", "out/test09-pearl.out", ncycles=3)
+                 "in/test09.in", "out/test09-pearl.out", ncycles=3,
+                 tfhe_cost=70)
     r.add_in_out("cahp-diamond-mux-00", "config-toml/cahp-diamond-mux.toml",
-                 "in/test00.in", "out/test00-diamond.out", ncycles=8)
+                 "in/test00.in", "out/test00-diamond.out", ncycles=8,
+                 tfhe_cost=1900)
     r.add_in_out("cahp-ruby-mux-09", "config-toml/cahp-ruby-mux.toml",
-                 "in/test09.in", "out/test09-ruby.out", ncycles=7)
+                 "in/test09.in", "out/test09-ruby.out", ncycles=7,
+                 tfhe_cost=1760)
     r.add_in_out("cahp-pearl-mux-09", "config-toml/cahp-pearl-mux.toml",
-                 "in/test09.in", "out/test09-pearl.out", ncycles=3)
+                 "in/test09.in", "out/test09-pearl.out", ncycles=3,
+                 tfhe_cost=800)
     r.add_in_out("cahp-diamond-01", "config-toml/cahp-diamond.toml",
                  "in/test01.in", "out/test01-diamond.out", ncycles=346,
                  tfhe=False)
@@ -205,41 +254,48 @@ def register(r: Runner):
                  "in/test11.in", "out/test11.out", ncycles=7, tfhe=False)
     r.add_in_out("const-4bit-22", "config-toml/const-4bit.toml",
                  "in/test22.in", "out/test22.out", ncycles=1, plain_ncycles=1,
-                 tfhe_tags=("tfhe-fast",))
+                 tfhe_tags=("tfhe-fast",), tfhe_cost=8)
     r.add_in_out("addr-4bit-04", "config-toml/addr-4bit.toml",
                  "in/test04.in", "out/test04.out", ncycles=1, plain_ncycles=1,
-                 tfhe_tags=("tfhe-fast",))
+                 tfhe_tags=("tfhe-fast",), tfhe_cost=10)
     r.add_in_out("pass-addr-pass-4bit-04", "config-toml/pass-addr-pass-4bit.toml",
-                 "in/test04.in", "out/test04.out", ncycles=1, plain_ncycles=1)
+                 "in/test04.in", "out/test04.out", ncycles=1, plain_ncycles=1,
+                 tfhe_cost=12)
     r.add_in_out("addr-register-4bit-16", "config-toml/addr-register-4bit.toml",
                  "in/test16.in", "out/test16.out", ncycles=3, plain_ncycles=3,
-                 tfhe_tags=("tfhe-fast",))
+                 tfhe_tags=("tfhe-fast",), tfhe_cost=15)
     r.add_in_out("div-8bit-05", "config-toml/div-8bit.toml",
-                 "in/test05.in", "out/test05.out", ncycles=1, plain_ncycles=1)
+                 "in/test05.in", "out/test05.out", ncycles=1, plain_ncycles=1,
+                 tfhe_cost=30)
     r.add_in_out("ram-addr8bit-06", "config-toml/ram-addr8bit.toml",
                  "in/test06.in", "out/test06.out", ncycles=16,
-                 plain_ncycles=16)
+                 plain_ncycles=16, tfhe_cost=60)
     r.add_in_out("ram-addr9bit-07", "config-toml/ram-addr9bit.toml",
                  "in/test07.in", "out/test07.out", ncycles=16,
-                 plain_ncycles=16)
+                 plain_ncycles=16, tfhe_cost=120)
     r.add_in_out("mux-ram-addr8bit-06", "config-toml/mux-ram-addr8bit.toml",
                  "in/test06.in", "out/test06.out", ncycles=16,
-                 plain_ncycles=16)
+                 plain_ncycles=16, tfhe_cost=300)
+    # tfhe-registered like the reference (test.rb:442-443): the widest
+    # MUX-RAM workload under encryption (synthesized 9-bit-address RAM)
     r.add_in_out("mux-ram-addr9bit-07", "config-toml/mux-ram-addr9bit.toml",
                  "in/test07.in", "out/test07.out", ncycles=16,
-                 plain_ncycles=16, tfhe=False)
+                 plain_ncycles=16, tfhe_cost=900)
     r.add_in_out("ram-8-16-16-08", "config-toml/ram-8-16-16.toml",
-                 "in/test08.in", "out/test08.out", ncycles=8, plain_ncycles=8)
+                 "in/test08.in", "out/test08.out", ncycles=8, plain_ncycles=8,
+                 tfhe_cost=60)
     r.add_in_out("mux-ram-8-16-16-08", "config-toml/mux-ram-8-16-16.toml",
-                 "in/test08.in", "out/test08.out", ncycles=8, plain_ncycles=8)
+                 "in/test08.in", "out/test08.out", ncycles=8, plain_ncycles=8,
+                 tfhe_cost=150)
     r.add_in_out("rom-7-32-12", "config-toml/rom-7-32.toml",
                  "in/test12.in", "out/test12.out", ncycles=1, plain_ncycles=1,
-                 tfhe_tags=("tfhe-fast",))
+                 tfhe_tags=("tfhe-fast",), tfhe_cost=15)
     r.add_in_out("rom-4-8-15", "config-toml/rom-4-8.toml",
-                 "in/test15.in", "out/test15.out", ncycles=1, plain_ncycles=1)
+                 "in/test15.in", "out/test15.out", ncycles=1, plain_ncycles=1,
+                 tfhe_cost=12)
     r.add_in_out("counter-4bit-13", "config-toml/counter-4bit.toml",
                  "in/test13.in", "out/test13.out", ncycles=3, plain_ncycles=3,
-                 tfhe_tags=("tfhe-fast",))
+                 tfhe_tags=("tfhe-fast",), tfhe_cost=12)
     r.add_in_out("cahp-ruby-14", "config-toml/cahp-ruby.toml",
                  "in/test14.in", "out/test14.out", ncycles=20,
                  plain_ncycles=20, tfhe=False)
@@ -294,7 +350,8 @@ def register(r: Runner):
 
     r.add("plain-cahp-diamond-dump-prefix-00", {"plain", "fast"},
           plain_dump_prefix)
-    r.add("tfhe-cahp-diamond-dump-prefix-00", {"tfhe"}, tfhe_dump_prefix)
+    r.add("tfhe-cahp-diamond-dump-prefix-00", {"tfhe"}, tfhe_dump_prefix,
+          cost=120)
 
     # chained runs: result packet -> convert -> next run's request
     # (reference test.rb:487-545)
@@ -332,7 +389,8 @@ def register(r: Runner):
         r._compare(r.res, "out/test20.out")
 
     r.add("plain-addr-addr-4bit-20", {"plain", "fast"}, plain_chained)
-    r.add("tfhe-addr-addr-4bit-20", {"tfhe", "tfhe-fast"}, tfhe_chained)
+    r.add("tfhe-addr-addr-4bit-20", {"tfhe", "tfhe-fast"}, tfhe_chained,
+          cost=25)
 
 
 def main():
@@ -347,7 +405,16 @@ def main():
                          "plain-only selections, ambient otherwise)")
     ap.add_argument("--results-json", default=None,
                     help="write a machine-readable run record (selected "
-                         "tests, per-test seconds, failures, platform)")
+                         "tests, per-test seconds, failures, platform); "
+                         "flushed after every test")
+    ap.add_argument("--order", default="shuffle",
+                    choices=("shuffle", "cheap"),
+                    help="run order (cheap = deterministic cheapest-first, "
+                         "for device runs bounded by a session window)")
+    ap.add_argument("--retries", type=int, default=1,
+                    help="attempts per test (device runs: 2+)")
+    ap.add_argument("--resume-from", default=None,
+                    help="previous --results-json: skip tests green there")
     args = ap.parse_args()
 
     # registry runs are compile-dominated (16 distinct circuits, few
@@ -379,21 +446,41 @@ def main():
         except Exception:  # noqa: BLE001 - backend already initialized
             pass
 
-    failed = r.run(args.tags, args.repeat)
-    if args.results_json:
-        import json
+    import json
 
-        with open(args.results_json, "w") as f:
+    skip_ok = []
+    if args.resume_from and os.path.exists(args.resume_from):
+        with open(args.resume_from) as f:
+            prev = json.load(f)
+        if prev.get("params") == args.params:
+            skip_ok = [t["name"] for t in prev.get("tests", [])
+                       if t.get("ok")]
+        else:
+            print(f"(ignoring --resume-from: params "
+                  f"{prev.get('params')} != {args.params})")
+
+    def flush(failed):
+        if not args.results_json:
+            return
+        with open(args.results_json + ".tmp", "w") as f:
             json.dump({
                 "tags": args.tags,
                 "params": args.params,
                 "platform": "cpu" if want_cpu else "ambient",
                 "fuse_levels": os.environ.get("IYOKAN_FUSE_LEVELS"),
                 "repeat": args.repeat,
-                "selected": len(r.results) // max(args.repeat, 1),
+                "order": args.order,
+                "retries": args.retries,
+                "selected": len(r.select(args.tags)),
                 "failed": failed,
                 "tests": r.results,
             }, f, indent=1)
+        os.replace(args.results_json + ".tmp", args.results_json)
+
+    failed = r.run(args.tags, args.repeat, order=args.order,
+                   retries=args.retries, skip_ok=skip_ok, flush=flush)
+    flush(failed)
+    if args.results_json:
         print(f"wrote {args.results_json}")
     if failed:
         print("FAILED:", ", ".join(failed))
