@@ -568,14 +568,29 @@ class DeviceKeys:
     pksk_mats: Tuple[jnp.ndarray, jnp.ndarray]  # u32 [N2*t21, 2N] each
     bkuntt: jnp.ndarray = None  # 2-bit-unrolled BK prep (latency path)
     bk2untt: jnp.ndarray = None  # 2-bit-unrolled BK2 prep (CB latency path)
+    bk_tk_small: jnp.ndarray = None  # 2-bit-unrolled tkey slab (small G)
 
     def bk_for(self, batch: int) -> jnp.ndarray:
-        """Unrolled key for small (latency-bound) batches, plain key for
-        large (throughput-bound) ones: unrolling halves sequential depth at
-        1.5x products per key bit."""
-        thr = int(os.environ.get("IYOKAN_UNROLL_MAX", "256"))
+        """Route a batch to the fastest blind-rotate key for its size.
+
+        On the tkey (Toeplitz-slab) impl the plain slab wins at EVERY
+        batch size (SMALLG_r04.log: 2945/3997/4713 gates/s at G=32/64/128
+        via kmaj vs 1208/1476/1596 on the round-3 bku-NTT route, and the
+        2-bit unrolled slab loses too -- tripled per-step VPU work beats
+        the halved depth at latency-bound sizes), so the default is: slab
+        for everything.  IYOKAN_UNROLL_MAX > 0 re-enables the bku NTT
+        route for batches <= the threshold (and stays the small-batch
+        default on non-tkey backends, where it is the only latency play);
+        IYOKAN_TK_SMALL=1 builds + routes an unrolled slab for batches <=
+        IYOKAN_TK_SMALL_MAX (kept as an opt-in experiment)."""
+        tkey = self.bkntt.dtype == jnp.int8
+        thr = int(os.environ.get("IYOKAN_UNROLL_MAX",
+                                 "0" if tkey else "256"))
         if self.bkuntt is not None and batch <= thr:
             return self.bkuntt
+        if self.bk_tk_small is not None and batch <= int(
+                os.environ.get("IYOKAN_TK_SMALL_MAX", "256")):
+            return self.bk_tk_small
         return self.bkntt
 
     def bk2_for(self) -> jnp.ndarray:
@@ -619,7 +634,7 @@ class DeviceKeys:
             tuple(os.environ.get(k) for k in (
                 "IYOKAN_BR_IMPL", "IYOKAN_TK_LAYOUT", "IYOKAN_TKEY_LIMBS",
                 "IYOKAN_NO_UNROLL", "IYOKAN_TK_UNROLL", "IYOKAN_EP",
-                "IYOKAN_TK_LB")),
+                "IYOKAN_TK_LB", "IYOKAN_TK_SMALL", "IYOKAN_UNROLL_MAX")),
         )
         hit = _DEVICE_KEY_CACHE.get(cache_key)
         if hit is not None:
@@ -667,16 +682,33 @@ class DeviceKeys:
                 polymul.tkey_kernel_key(src, p, L, lay, lb=lb)
             )
         else:
+            tku = False
             bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))
         if (os.environ.get("IYOKAN_EP") == "pallas" and be.name == "mxu"
                 and impl != "tkey"):
             from ..ops.pallas_ep import prep_kernel_key
 
             bkntt = jax.jit(lambda b: prep_kernel_key(b, p.N))(bkntt)
+        # OPT-IN 2-bit-unrolled tkey slab for small batches (bk_for): a
+        # measured LOSS at G=32..128 (SMALLG_r04.log: tripled per-step VPU
+        # work beats the halved depth), kept behind IYOKAN_TK_SMALL=1 as
+        # the documented experiment.  Skipped when the main slab is
+        # already unrolled (IYOKAN_TK_UNROLL=1).
+        bk_tk_small = None
+        if (impl == "tkey" and not tku and ek.bku is not None
+                and lay == "fat"
+                and os.environ.get("IYOKAN_TK_SMALL", "0") == "1"):
+            bku_rows = ek.bku.reshape(ek.bku.shape[0], 6 * p.l, 2, p.N)
+            bk_tk_small = jnp.asarray(
+                polymul.tkey_kernel_key(bku_rows, p, L, "fat", lb=lb))
         bkuntt = None
-        # the 2-bit-unrolled NTT key is kept alongside the tkey key: small
-        # (latency-bound) batches route to it via bk_for
-        if ek.bku is not None and not os.environ.get("IYOKAN_NO_UNROLL"):
+        # the 2-bit-unrolled NTT key is kept when bk_for can still route
+        # to it: always on non-tkey backends (the only small-batch play
+        # there), on tkey only when IYOKAN_UNROLL_MAX > 0 re-enables the
+        # legacy route (default 0: the slab beats it at every size)
+        if (ek.bku is not None and not os.environ.get("IYOKAN_NO_UNROLL")
+                and (impl != "tkey"
+                     or int(os.environ.get("IYOKAN_UNROLL_MAX", "0")) > 0)):
             bku = ek.bku.reshape(ek.bku.shape[0], 3 * 2 * p.l, 2, p.N)
             bkuntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bku))
         ksk_mat = jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1))
@@ -708,7 +740,7 @@ class DeviceKeys:
                 jnp.zeros((p.N2 * p.pks_t, 2 * p.N), u32),
             )
         dk = DeviceKeys(p, be, bkntt, ksk_mat, bk2ntt, mats, bkuntt,
-                        bk2untt)
+                        bk2untt, bk_tk_small)
         _DEVICE_KEY_CACHE[cache_key] = dk
         while len(_DEVICE_KEY_CACHE) > _DEVICE_KEY_CACHE_MAX:
             _DEVICE_KEY_CACHE.popitem(last=False)
@@ -719,7 +751,7 @@ jax.tree_util.register_pytree_node(
     DeviceKeys,
     lambda dk: (
         (dk.bkntt, dk.ksk_mat, dk.bk2ntt, dk.pksk_mats, dk.bkuntt,
-         dk.bk2untt),
+         dk.bk2untt, dk.bk_tk_small),
         (dk.params, dk.backend),
     ),
     lambda aux, children: DeviceKeys(aux[0], aux[1], *children),

@@ -474,20 +474,17 @@ def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
 
 def _probe_compile(p: Params, Gp: int, BG: int, n_steps: int, L: int,
                    fat2: bool, ext8: bool, chains: int, lb: int,
-                   unroll: bool, bk_shape: tuple):
-    """Compile the kmaj kernel standalone (abstract inputs, no execution).
-
-    Mosaic compiles a Pallas kernel deterministically from its own module,
-    independent of the surrounding XLA program, so a standalone compile
-    success/failure predicts the embedded one.  Raises on compile failure."""
+                   kmaj: bool, unroll: bool, bk_shape: tuple):
+    """Compile a pipe-kernel config standalone (abstract inputs, no
+    execution).  Mosaic compiles a Pallas kernel deterministically from
+    its own module, independent of the surrounding XLA program, so a
+    standalone compile success/failure predicts the embedded one.
+    Raises on compile failure."""
     import jax
 
-    if (os.environ.get("IYOKAN_PALLAS_INTERPRET")
-            or os.environ.get("IYOKAN_TK_KMAJ_PRECHECK") == "0"):
-        return
     M = 3 if unroll else 1
     call = _call_pipe(p, Gp, BG, n_steps, L, fat2, frozenset(), ext8,
-                      chains, lb, True, unroll)
+                      chains, lb, kmaj, unroll)
     rows = jax.ShapeDtypeStruct((M * (n_steps + 1), Gp), jnp.int32)
     acc = jax.ShapeDtypeStruct((Gp, p.N), u32)
     bk = jax.ShapeDtypeStruct(bk_shape, jnp.int8)
@@ -495,26 +492,26 @@ def _probe_compile(p: Params, Gp: int, BG: int, n_steps: int, L: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _kmaj_compile_ok(p: Params, Gp: int, BG: int, n_steps: int, L: int,
+def _pipe_compile_ok(p: Params, Gp: int, BG: int, n_steps: int, L: int,
                      fat2: bool, ext8: bool, chains: int, lb: int,
-                     unroll: bool, bk_shape: tuple) -> bool:
-    """Per-shape guard for the kmaj small-batch mode: some shapes fail
-    Mosaic compilation (G=256/BG=128 at cggi128, SMALLG_r03.log), and a
-    production engine must reroute INSIDE the library rather than via an
-    external watcher script.  Cached per shape; the probe costs one
-    standalone kernel compile (~6-10 s at small G on device)."""
+                     kmaj: bool, unroll: bool, bk_shape: tuple) -> bool:
+    """Per-shape guard for the pipelined kernel: some shapes crash the
+    Mosaic compiler (kmaj at BG=128, SMALLG_r03.log; the plain pipe at
+    BG=128 with grid padding, SMALLG_r04.log), and a production engine
+    must reroute INSIDE the library rather than via an external watcher
+    script.  Cached per shape; a probe costs one standalone kernel
+    compile (~6-60 s on device, paid once per shape per process)."""
     try:
         _probe_compile(p, Gp, BG, n_steps, L, fat2, ext8, chains, lb,
-                       unroll, bk_shape)
+                       kmaj, unroll, bk_shape)
         return True
     except Exception as e:  # noqa: BLE001 - any compile failure reroutes
         import warnings
 
         warnings.warn(
-            f"kmaj tkey kernel fails to compile at (G={Gp}, BG={BG}, "
-            f"chains={chains}, lb={lb}, unroll={unroll}): "
-            f"{str(e).splitlines()[0][:200]} -- rerouting this shape to "
-            "the standard pipelined kernel")
+            f"tkey pipe kernel fails to compile at (G={Gp}, BG={BG}, "
+            f"chains={chains}, lb={lb}, kmaj={kmaj}, unroll={unroll}): "
+            f"{str(e).splitlines()[0][:200]} -- rerouting this shape")
         return False
 
 
@@ -607,8 +604,16 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
             and pipe_env != "0")
     if pipe:
         # small batches: shrink the block so G still fills `chains`
-        # pipeline chains (rounded to the 8-sublane i32 tile)
-        BG = min(block_g, max(8, (-(-G // chains) + 7) // 8 * 8))
+        # pipeline chains.  BG snaps to a POWER OF TWO (>= 8, the i32
+        # sublane tile): the kernel's per-chain row slices sit at offsets
+        # c*BG, and Mosaic miscompiles some non-128-multiple offsets
+        # (BG=96 at G=192: "dynamic load with unaligned indices",
+        # SMALLG_r04.log) while every pow2 block size measures clean.
+        base = -(-G // chains)
+        bg2 = 8
+        while bg2 < base:
+            bg2 *= 2
+        BG = min(block_g, bg2)
         pad = (-G) % (chains * BG)
     else:
         BG = min(block_g, max(8, G))
@@ -655,14 +660,36 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
         # M (identical MACs/DMA), filling the MXU's 128 rows
         kmaj_env = os.environ.get("IYOKAN_TK_KMAJ", "auto")
         kmaj = BG < 128 if kmaj_env == "auto" else kmaj_env == "1"
+        # Candidate ladder: the preferred (BG, kmaj), its no-kmaj twin,
+        # then halved block sizes (grid splits; smaller pow2 blocks are
+        # the shapes that measure clean) -- Mosaic crashes on some
+        # configs (kmaj at BG>=128, plain pipe at BG=128 under grid
+        # padding), so each candidate is compile-probed (cached) and the
+        # first good one runs; the serial kernel is the final fallback.
+        cands = [(BG, kmaj)]
         if kmaj:
-            # some shapes fail Mosaic compilation; pre-check and reroute
-            kmaj = _kmaj_compile_ok(p, Gp, BG, n_steps, L, fat2, ext8,
-                                    chains, lb, unroll, bk_tk.shape)
-        outa, outb = _call_pipe(p, Gp, BG, n_steps, L, fat2, ablate, ext8,
-                                chains, lb, kmaj,
-                                unroll)(rows, acc_a, acc_b, bk_tk)
-        return jnp.stack([outa, outb], axis=1)[:G]
+            cands.append((BG, False))
+        bg_c = BG // 2
+        while bg_c >= 8:
+            cands.append((bg_c, bg_c < 128 if kmaj_env == "auto"
+                          else kmaj_env == "1"))
+            bg_c //= 2
+        pc_env = os.environ.get("IYOKAN_TK_PRECHECK")
+        precheck = pc_env != "0" and (
+            pc_env == "1" or not os.environ.get("IYOKAN_PALLAS_INTERPRET"))
+        for bg_c, km_c in cands:
+            if precheck and not _pipe_compile_ok(
+                    p, Gp, bg_c, n_steps, L, fat2, ext8, chains, lb,
+                    km_c, unroll, bk_tk.shape):
+                continue
+            outa, outb = _call_pipe(p, Gp, bg_c, n_steps, L, fat2, ablate,
+                                    ext8, chains, lb, km_c,
+                                    unroll)(rows, acc_a, acc_b, bk_tk)
+            return jnp.stack([outa, outb], axis=1)[:G]
+        rows = rows[:M * n_steps]                   # serial takes no pad
+    BG = min(block_g, max(8, Gp))
+    while Gp % BG:                   # serial grid needs BG to divide Gp
+        BG //= 2
     outa, outb = _call(p, Gp, BG, n_steps, L, fat, split, unroll,
                        fat2, ablate, lb)(rows, acc_a, acc_b, bk_tk)
     return jnp.stack([outa, outb], axis=1)[:G]

@@ -186,13 +186,14 @@ def test_tkey_kmaj_asymmetric_small_batch(toy, toy_sk, toy_ek, rng,
     np.testing.assert_array_equal(got, 1 - (a & b))
 
 
-def test_tkey_kmaj_compile_failure_reroutes(toy, toy_ek, toy_dk, toy_sk,
+def test_tkey_pipe_compile_failure_reroutes(toy, toy_ek, toy_dk, toy_sk,
                                             rng, monkeypatch):
-    """A kmaj kernel shape that fails Mosaic compilation (G=256/BG=128 at
-    cggi128, SMALLG_r03.log) must reroute to the standard pipelined kernel
-    INSIDE blind_rotate_tkey -- not via an external watcher script.  The
-    probe failure is simulated; the reroute must still produce the exact
-    blind-rotation result and warn once."""
+    """A pipe-kernel shape that fails Mosaic compilation (kmaj at BG=128,
+    SMALLG_r03.log; the plain pipe at BG=128, SMALLG_r04.log) must walk
+    the candidate ladder INSIDE blind_rotate_tkey -- not via an external
+    watcher script.  Probe failures are simulated for the first
+    candidates; the reroute must still produce the exact blind-rotation
+    result and warn."""
     import warnings
 
     from iyokan_tpu.ops import pallas_tk
@@ -206,26 +207,34 @@ def test_tkey_kmaj_compile_failure_reroutes(toy, toy_ek, toy_dk, toy_sk,
     bk = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
                                         layout="fat"))
 
-    def boom(*a, **k):
-        raise RuntimeError("MosaicError: simulated compile failure")
+    fails = []
+
+    def boom(p_, Gp, BG, *a, **k):
+        fails.append(BG)
+        if len(fails) <= 1:     # the preferred candidate "fails"
+            raise RuntimeError("MosaicError: simulated compile failure")
 
     monkeypatch.setattr(pallas_tk, "_probe_compile", boom)
-    monkeypatch.setenv("IYOKAN_TK_KMAJ", "1")     # force the failing mode
-    pallas_tk._kmaj_compile_ok.cache_clear()
+    monkeypatch.setenv("IYOKAN_TK_KMAJ", "1")     # prefer the failing mode
+    monkeypatch.setenv("IYOKAN_TK_PRECHECK", "1")  # probe under interpret
+    pallas_tk._pipe_compile_ok.cache_clear()
     try:
         with warnings.catch_warnings(record=True) as ws:
             warnings.simplefilter("always")
             got = np.asarray(
                 pallas_tk.blind_rotate_tkey(ct, bk, testv, p, block_g=8))
         np.testing.assert_array_equal(got, want)
-        assert any("rerouting" in str(w.message) for w in ws), (
+        assert len(fails) == 2      # one refusal, second candidate runs
+        assert sum("rerouting" in str(w.message) for w in ws) == 1, (
             [str(w.message) for w in ws])
-        # the verdict is cached: a second call must not re-probe
+        # verdicts are cached: a second call must not re-probe
+        n_probes = len(fails)
         got2 = np.asarray(
             pallas_tk.blind_rotate_tkey(ct, bk, testv, p, block_g=8))
         np.testing.assert_array_equal(got2, want)
+        assert len(fails) == n_probes
     finally:
-        pallas_tk._kmaj_compile_ok.cache_clear()
+        pallas_tk._pipe_compile_ok.cache_clear()
 
 
 def test_tkey_unrolled_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,

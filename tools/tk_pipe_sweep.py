@@ -35,7 +35,7 @@ def main():
 
     rng = np.random.default_rng(2)
 
-    def run(tag, G, env):
+    def run(tag, G, env, _attempt=1):
         saved = {}
         for k, v in env.items():
             saved[k] = os.environ.get(k)
@@ -67,8 +67,19 @@ def main():
             print(f"{tag:44s} G={G:5d}  {dt*1e3:7.1f} ms  "
                   f"{G/dt:7.0f} gates/s   (compile {comp:.0f}s)", flush=True)
         except Exception as e:
-            print(f"{tag:44s} G={G:5d}  FAILED: {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+            print(f"{tag:44s} G={G:5d}  FAILED (attempt {_attempt}): "
+                  f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            # the remote compiler fails transiently (round-3 sweep lost
+            # both lb=2 ablation rows to one-off SIGABRTs); retry once
+            # after a short backoff before recording a hole
+            if _attempt < 2:
+                time.sleep(30)
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+                return run(tag, G, env, _attempt=_attempt + 1)
         finally:
             for k, v in saved.items():
                 if v is None:
