@@ -20,10 +20,13 @@ the blueprint's directory (reference :1759-1760).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import re
 import tomllib
 from typing import Dict, List, Optional, Tuple
+
+log = logging.getLogger(__name__)
 
 _PORT_RE = re.compile(r"^@?(?:([^/]+)/)?([^[]+)(?:\[([0-9]+):([0-9]+)\])?$")
 
@@ -143,12 +146,28 @@ class Blueprint:
                 if dst_str.startswith("@"):
                     if dst.node_name or not s.node_name:
                         raise ValueError(f"invalid connect: {dst_str}={src_str}")
-                    self.at_ports.setdefault((dst.port_name, dst.port_bit), s)
+                    key = (dst.port_name, dst.port_bit)
+                    if key in self.at_ports:
+                        # reference parity incl. the limitation: an @port
+                        # used twice keeps only its first binding
+                        # (src/iyokan.hpp:1857-1864 "Only the first one is
+                        # effective")
+                        log.warning("%s is used multiple times. Only the "
+                                    "first one is effective.", dst_str)
+                    self.at_ports.setdefault(key, s)
                     self._track_width(dst.port_name, dst.port_bit)
                 elif src_str.startswith("@"):
                     if s.node_name or not dst.node_name:
                         raise ValueError(f"invalid connect: {dst_str}={src_str}")
-                    self.at_ports.setdefault((s.port_name, s.port_bit), dst)
+                    key = (s.port_name, s.port_bit)
+                    if key in self.at_ports:
+                        # reference src/iyokan.hpp:1877-1884 (FIXME there
+                        # too): fanning one @input to several sinks keeps
+                        # only the first -- declare separate @ports and
+                        # feed them the same packet stream instead
+                        log.warning("%s is used multiple times. Only the "
+                                    "first one is effective.", src_str)
+                    self.at_ports.setdefault(key, dst)
                     self._track_width(s.port_name, s.port_bit)
                 else:
                     self.edges.append((s, dst))

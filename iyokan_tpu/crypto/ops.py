@@ -301,7 +301,33 @@ def blind_rotate(tlwe0: jnp.ndarray, bk_prep: jnp.ndarray, testv: jnp.ndarray,
         # the no-NTT direct-convolution kernel.  [n, 2l, N, 2L*128] =
         # thin layout, [n, 2l*N, 2L*128] = fat (j in the contraction).
         from ..ops.pallas_tk import blind_rotate_tkey
+        from ..parallel import mesh as mesh_mod
 
+        # GSPMD cannot partition a pallas_call (no partitioning rule is
+        # declared), so under an active mesh a sharded batch would be
+        # all-gathered back to every chip before the kernel.  shard_map
+        # keeps the gates axis sharded: each chip runs the kernel on its
+        # own rows against the replicated key (same placement contract
+        # as the XLA path, tests/test_parallel.py).
+        mesh = mesh_mod.get_mesh()
+        G = tlwe0.shape[0]
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            if (G % n_dev == 0
+                    and G // n_dev >= mesh_mod._min_rows_per_device()):
+                from jax.sharding import PartitionSpec as P
+
+                fn = jax.shard_map(
+                    lambda t, bk, tv: blind_rotate_tkey(t, bk, tv, p),
+                    mesh=mesh,
+                    in_specs=(P("gates"), P(*([None] * bk_prep.ndim)),
+                              P(None)),
+                    out_specs=P("gates"),
+                    # pallas_call declares no varying-mesh-axes info, so
+                    # the vma check cannot see through it
+                    check_vma=False,
+                )
+                return fn(tlwe0, bk_prep, testv)
         return blind_rotate_tkey(tlwe0, bk_prep, testv, p)
     if (
         impl == "v3"

@@ -111,3 +111,82 @@ def test_sharded_ram_cycle(mesh8, toy_sk, toy_ek):
     fe.go(1)
     res = fe.make_result_packet().decrypt(toy_sk)
     np.testing.assert_array_equal(res.ram["ramA"][2 * 4 : 3 * 4], [1, 0, 1, 1])
+
+
+def test_tkey_kernel_sharded_over_mesh(mesh8, toy_sk, toy_ek, rng,
+                                       monkeypatch):
+    """The Pallas tkey route under an active mesh: GSPMD cannot partition
+    a pallas_call, so ops.blind_rotate wraps it in shard_map -- each
+    device runs the kernel (kmaj engages at these block sizes) on its own
+    gate rows against the replicated slab.  Output must stay sharded on
+    the gates axis and match the XLA path bit-exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iyokan_tpu.crypto import host, ops
+    from iyokan_tpu.crypto import polymul as pm
+
+    monkeypatch.setenv("IYOKAN_PALLAS_INTERPRET", "1")
+    p = toy_ek.params
+    G = 64                        # 8 rows/device = IYOKAN_SHARD_MIN_ROWS
+    bits = rng.integers(0, 2, G, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+    bk_tk = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
+                                           layout="fat"))
+
+    @jax.jit
+    def rot(ct, bk, tv):
+        batch = mesh_mod.shard_batch(ct)
+        return ops.blind_rotate(batch, bk, tv, p)
+
+    out = rot(ct, bk_tk, testv)
+    assert out.sharding.is_equivalent_to(
+        NamedSharding(mesh8, P("gates")), 3)
+    dk = ops.DeviceKeys.from_evalkey(toy_ek, with_cb=False)
+    want = np.asarray(ops.blind_rotate(ct, dk.bkntt, testv, p, dk.backend))
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_fused_multi_ram_write_shards_refresh(mesh8, toy_sk, toy_ek):
+    """The fused multi-instance RAM write (one SEI->KS->refresh bootstrap
+    over the concatenated words of every instance, engine/tfhe.py
+    _ram_write_all) under the mesh: the 2 x 2^3 x 4 = 64-row refresh
+    batch must SHARD over the gates axis (placement assert, not just a
+    value check), and both instances' stores must come back refreshed
+    with the written word."""
+    import os
+
+    from iyokan_tpu.parallel import mesh as mesh_mod_  # placement oracle
+
+    req = packet_mod.PlainPacket(
+        ram={"ramA": np.zeros(32, np.uint8),
+             "ramB": np.zeros(32, np.uint8)},
+        bits={
+            "addr": np.array([0, 1, 0], np.uint8),   # word 2
+            "wren": np.array([1], np.uint8),
+            "wdata": np.array([1, 0, 1, 1], np.uint8),
+            "addrB": np.array([0, 1, 0], np.uint8),
+            "wrenB": np.array([1], np.uint8),
+            "wdataB": np.array([1, 0, 1, 1], np.uint8),
+        },
+    )
+    bp = Blueprint(os.path.join(os.path.dirname(__file__),
+                                "data/tiny-2ram.toml"))
+    # the refresh batch [64, N+1] is exactly at the shard threshold
+    assert mesh_mod_.batch_sharding((64, 257)).is_equivalent_to(
+        jax.sharding.NamedSharding(
+            mesh8, jax.sharding.PartitionSpec("gates", None)), 2)
+
+    fe = Frontend("tfhe", bp, req.encrypt(toy_sk, seed=7), eval_key=toy_ek)
+    fe.go(1)
+
+    # placement of the LIVE per-instance refreshed stores
+    for nm in ("ramA", "ramB"):
+        store = fe.rams[nm]                      # [2^a, w, 2, N] device arr
+        assert store.shape[0] * store.shape[1] == 32
+    res = fe.make_result_packet().decrypt(toy_sk)
+    np.testing.assert_array_equal(res.ram["ramA"][2 * 4: 3 * 4],
+                                  [1, 0, 1, 1])
+    np.testing.assert_array_equal(res.ram["ramB"][2 * 4: 3 * 4],
+                                  [1, 0, 1, 1])
