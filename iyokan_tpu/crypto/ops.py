@@ -35,6 +35,7 @@ from .host import EvalKey
 
 u32 = jnp.uint32
 u64 = jnp.uint64
+i8 = jnp.int8
 i64 = jnp.int64
 
 
@@ -236,6 +237,37 @@ def matmul_mod32(d: jnp.ndarray, key_u32: jnp.ndarray,
     return acc
 
 
+def key_i8_limbs(key_u32: np.ndarray) -> np.ndarray:
+    """Host: u32 key matrix [K, M] -> balanced radix-256 limbs
+    int8 [4, K, M] with exact reconstruction key = sum_j limb_j * 256^j
+    (mod 2^32).  Centered digits fit int8 exactly, so limb matmuls ride
+    the MXU's int8 path (~4x the bf16 rate the u32 form needs)."""
+    v = key_u32.astype(np.int64)
+    limbs = []
+    for _ in range(4):
+        l0 = ((v + 128) & 255) - 128
+        limbs.append(l0.astype(np.int8))
+        v = (v - l0) >> 8
+    return np.stack(limbs, axis=0)
+
+
+def matmul_mod32_i8(d: jnp.ndarray, key_i8: jnp.ndarray) -> jnp.ndarray:
+    """Exact (d @ key) mod 2^32 via int8 limb matmuls on the MXU.
+
+    d: small signed ints [..., K] with K * max|d| * 128 < 2^31 (int32
+    accumulation is exact); key_i8: balanced limbs [4, K, M] from
+    key_i8_limbs.  Bit-identical to matmul_mod32 on the reconstructed
+    key: limb products accumulate in int32 and the shift-add
+    recombination is exact mod 2^32 (two's complement)."""
+    di = d.astype(i8) if d.dtype != i8 else d
+    acc = None
+    for l in range(4):
+        part = jnp.dot(di, key_i8[l], preferred_element_type=jnp.int32)
+        term = part.astype(u32) << u32(8 * l)
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def keyswitch_10(tlwe1: jnp.ndarray, ksk_mat: jnp.ndarray,
                  p: Params) -> jnp.ndarray:
     """Identity key switch lvl1 -> lvl0 as one (limbed) matmul.
@@ -250,7 +282,11 @@ def keyswitch_10(tlwe1: jnp.ndarray, ksk_mat: jnp.ndarray,
     b = tlwe1[..., p.N]
     d = _ks_digits(a, p.ks_t, p.ks_basebit, 32)          # [..., N, t]
     d = d.reshape(*d.shape[:-2], p.N * p.ks_t)
-    acc = matmul_mod32(d, ksk_mat, limb_bits=8)
+    if ksk_mat.ndim == 3 and ksk_mat.dtype == i8:
+        # balanced-limb key (key_i8_limbs): int8 MXU path, bit-identical
+        acc = matmul_mod32_i8(d, ksk_mat)
+    else:
+        acc = matmul_mod32(d, ksk_mat, limb_bits=8)
     out = u32(0) - acc
     return out.at[..., p.n].add(b)
 
@@ -500,7 +536,11 @@ def privks(tlwe2: jnp.ndarray, pksk_mat: jnp.ndarray, part: int,
     b = tlwe2[..., p.N2]
     d = _ks_digits(a, p.pks_t, p.pks_basebit, 64)        # [..., N2, t]
     d = d.reshape(*d.shape[:-2], p.N2 * p.pks_t)
-    acc = matmul_mod32(d, pksk_mat, limb_bits=6)         # [..., 2N]
+    if pksk_mat.ndim == 3 and pksk_mat.dtype == i8:
+        # balanced-limb key: |d| <= 4, K*4*128 = 2^23.3 -- exact in i32
+        acc = matmul_mod32_i8(d, pksk_mat)
+    else:
+        acc = matmul_mod32(d, pksk_mat, limb_bits=6)     # [..., 2N]
     out = (u32(0) - acc).reshape(*acc.shape[:-1], 2, p.N)
     b32 = ((b + c64(1 << 31)) >> np.uint64(32)).astype(u32)
     # trivial realization of f(b): f1 -> b-part const, f0 -> a-part const
@@ -660,7 +700,8 @@ class DeviceKeys:
             tuple(os.environ.get(k) for k in (
                 "IYOKAN_BR_IMPL", "IYOKAN_TK_LAYOUT", "IYOKAN_TKEY_LIMBS",
                 "IYOKAN_NO_UNROLL", "IYOKAN_TK_UNROLL", "IYOKAN_EP",
-                "IYOKAN_TK_LB", "IYOKAN_TK_SMALL", "IYOKAN_UNROLL_MAX")),
+                "IYOKAN_TK_LB", "IYOKAN_TK_SMALL", "IYOKAN_UNROLL_MAX",
+                "IYOKAN_KS_I8")),
         )
         hit = _DEVICE_KEY_CACHE.get(cache_key)
         if hit is not None:
@@ -737,7 +778,13 @@ class DeviceKeys:
                      or int(os.environ.get("IYOKAN_UNROLL_MAX", "0")) > 0)):
             bku = ek.bku.reshape(ek.bku.shape[0], 3 * 2 * p.l, 2, p.N)
             bkuntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bku))
-        ksk_mat = jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1))
+        # key switches as int8 limb matmuls on the MXU backend (~4x the
+        # bf16 limb path, bit-identical; IYOKAN_KS_I8=0 restores u32 keys)
+        ks_i8 = (be.name == "mxu"
+                 and os.environ.get("IYOKAN_KS_I8", "1") != "0")
+        ksk_flat = ek.ksk.reshape(p.N * p.ks_t, p.n + 1)
+        ksk_mat = jnp.asarray(key_i8_limbs(ksk_flat) if ks_i8
+                              else ksk_flat)
 
         bk2untt = None
         if with_cb:
@@ -754,7 +801,10 @@ class DeviceKeys:
                 )
             pk = ek.pksk  # u32 [2, N2, t, 2, N]
             mats = tuple(
-                jnp.asarray(pk[i].reshape(p.N2 * p.pks_t, 2 * p.N))
+                jnp.asarray(
+                    key_i8_limbs(pk[i].reshape(p.N2 * p.pks_t, 2 * p.N))
+                    if ks_i8 else
+                    pk[i].reshape(p.N2 * p.pks_t, 2 * p.N))
                 for i in (0, 1)
             )
         else:

@@ -226,3 +226,37 @@ def test_devicekeys_small_batch_routing(toy, toy_ek, monkeypatch):
     assert dk4.bkuntt is not None
     assert dk4.bk_for(64) is dk4.bkuntt
     assert dk4.bk_for(1024) is dk4.bkntt
+
+
+def test_keyswitch_i8_limb_path_bitexact(toy, toy_sk, toy_ek, toy_dk, rng):
+    """The int8 balanced-limb key-switch (MXU int8 path on TPU) is
+    bit-identical to the u32 bf16-limb path, for both the identity KS
+    and the private functional KS."""
+    import jax.numpy as jnp
+
+    p = toy
+    bits = rng.integers(0, 2, 8, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+    tr = ops.blind_rotate(ct, toy_dk.bkntt, testv, p, toy_dk.backend)
+    t1 = ops.sample_extract(tr, 0)
+
+    ksk_u32 = np.asarray(toy_ek.ksk.reshape(p.N * p.ks_t, p.n + 1))
+    ksk_i8 = ops.key_i8_limbs(ksk_u32)
+    # limbs reconstruct the key exactly mod 2^32
+    rec = sum(ksk_i8[j].astype(np.int64) << (8 * j) for j in range(4))
+    np.testing.assert_array_equal((rec & 0xFFFFFFFF).astype(np.uint32),
+                                  ksk_u32)
+    a = np.asarray(ops.keyswitch_10(t1, jnp.asarray(ksk_u32), p))
+    b = np.asarray(ops.keyswitch_10(t1, jnp.asarray(ksk_i8), p))
+    np.testing.assert_array_equal(a, b)
+
+    # private functional KS (circuit bootstrap path)
+    mus = np.uint64(1 << 62)
+    tl2 = jnp.asarray(
+        rng.integers(0, 1 << 63, (4, p.N2 + 1), dtype=np.uint64) + mus)
+    pk_u32 = np.asarray(toy_ek.pksk[0].reshape(p.N2 * p.pks_t, 2 * p.N))
+    a2 = np.asarray(ops.privks(tl2, jnp.asarray(pk_u32), 0, p))
+    b2 = np.asarray(ops.privks(tl2, jnp.asarray(ops.key_i8_limbs(pk_u32)),
+                               0, p))
+    np.testing.assert_array_equal(a2, b2)
