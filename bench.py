@@ -179,6 +179,8 @@ def run_best_config():
         return
     best_env = os.environ.get("BENCH_BEST_ENV", "IYOKAN_TK_CHAINS=4")
     env = dict(os.environ, BENCH_DIAMOND="0", BENCH_BEST="0")
+    if os.environ.get("BENCH_BEST_G"):
+        env["BENCH_G"] = os.environ["BENCH_BEST_G"]
     for kv in best_env.split(","):
         k, _, v = kv.partition("=")
         env[k.strip()] = v.strip()

@@ -384,3 +384,23 @@ def test_tkey_asymmetric_gadget_gates(toy, toy_sk, toy_ek, rng, monkeypatch):
         got = (np.asarray(ph) < (1 << 31)).astype(np.uint8)
         np.testing.assert_array_equal(got, 1 - (a & b),
                                       err_msg=f"pipe={pipe}")
+
+
+def test_tkey_awkward_batch_sizes(toy, toy_ek, toy_dk, toy_sk, rng):
+    """Non-power-of-two batch sizes (the engine's nb + 2*nm bucket sums:
+    96, 192, 320...) pick pow2 block sizes and pad -- the BG=96-class
+    shapes miscompiled on device (SMALLG_r04.log).  Bit-exact at 4 limbs
+    across the block-size ladder."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    bk = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
+                                        layout="fat"))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+    for G in (5, 24, 96, 192):
+        bits = rng.integers(0, 2, G, dtype=np.uint8)
+        ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+        want = np.asarray(ops.blind_rotate(ct, toy_dk.bkntt, testv, p,
+                                           toy_dk.backend))
+        got = np.asarray(blind_rotate_tkey(ct, bk, testv, p))
+        np.testing.assert_array_equal(got, want, err_msg=f"G={G}")
