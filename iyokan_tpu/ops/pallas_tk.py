@@ -337,17 +337,36 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
             # A fat2 key's second copy IS the plain slab; use it so
             # both key layouts ride the same math.
             bkp = bk[RT:] if fat2 else bk
-            rows = []
-            for K in range(NB):
-                cut = grp * (K + 1)
-                if cut < RT:
-                    rows.append(jnp.concatenate(
-                        [ext[:, cut:], -ext[:, :cut]], axis=-1))
-                else:
-                    rows.append(-ext)
-            E = jnp.concatenate(rows, axis=0).astype(i8)
-            S = mm(E, bkp)                       # [NB*BG, 2L*128]
             Bl = ext.shape[0]
+            if Bl % 32 == 0:
+                # i8 assembly: cast (+ the negated copy -- Mosaic has no
+                # packed-i8 negation, so negate in i32 first) ONCE, then
+                # build the NB rotated row blocks as i8 concats: ~4x less
+                # VMEM traffic than assembling in i32 and casting the
+                # [NB*BG, RT] matrix.  Needs 32-sublane-aligned blocks
+                # (i8 tile is (32, 128)); smaller BG keeps the i32 path.
+                pos = ext.astype(i8)
+                neg = (-ext).astype(i8)
+                rows = []
+                for K in range(NB):
+                    cut = grp * (K + 1)
+                    if cut < RT:
+                        rows.append(jnp.concatenate(
+                            [pos[:, cut:], neg[:, :cut]], axis=-1))
+                    else:
+                        rows.append(neg)
+                E = jnp.concatenate(rows, axis=0)
+            else:
+                rows = []
+                for K in range(NB):
+                    cut = grp * (K + 1)
+                    if cut < RT:
+                        rows.append(jnp.concatenate(
+                            [ext[:, cut:], -ext[:, :cut]], axis=-1))
+                    else:
+                        rows.append(-ext)
+                E = jnp.concatenate(rows, axis=0).astype(i8)
+            S = mm(E, bkp)                       # [NB*BG, 2L*128]
             return [S[K * Bl:(K + 1) * Bl] for K in range(NB)]
         ss = []
         for K in range(NB):

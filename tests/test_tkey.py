@@ -404,3 +404,24 @@ def test_tkey_awkward_batch_sizes(toy, toy_ek, toy_dk, toy_sk, rng):
                                            toy_dk.backend))
         got = np.asarray(blind_rotate_tkey(ct, bk, testv, p))
         np.testing.assert_array_equal(got, want, err_msg=f"G={G}")
+
+
+def test_tkey_kmaj_i8_assembly_bitexact(toy, toy_ek, toy_dk, toy_sk, rng,
+                                        monkeypatch):
+    """The kmaj i8 row-assembly fast path (BG % 32 == 0) is bit-identical
+    to the i32-assembled form and the XLA path."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    monkeypatch.setenv("IYOKAN_TK_KMAJ", "1")
+    bits = rng.integers(0, 2, 64, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+    want = np.asarray(ops.blind_rotate(ct, toy_dk.bkntt, testv, p,
+                                       toy_dk.backend))
+    bk = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
+                                        layout="fat"))
+    # block_g=32 -> BG=32: i8 assembly; block_g=8 -> BG=8: i32 assembly
+    for bg in (32, 8):
+        got = np.asarray(blind_rotate_tkey(ct, bk, testv, p, block_g=bg))
+        np.testing.assert_array_equal(got, want, err_msg=f"BG={bg}")
