@@ -64,7 +64,11 @@ def main():
     slab_u = jnp.asarray(pm.tkey_kernel_key(bku_rows, p, L, "fat", lb=lb))
     be = pm.get_backend()
     bkuntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bku_rows))
-    ksk_mat = jnp.asarray(ek.ksk.reshape(p.N * p.ks_t, p.n + 1))
+    ksk_flat = ek.ksk.reshape(p.N * p.ks_t, p.n + 1)
+    if os.environ.get("IYOKAN_KS_I8", "1") != "0":
+        ksk_mat = jnp.asarray(ops.key_i8_limbs(ksk_flat))  # int8 MXU path
+    else:
+        ksk_mat = jnp.asarray(ksk_flat)
     print(f"# key prep {time.time()-t0:.1f}s "
           f"(slab {slab.nbytes/2**30:.2f} GiB, "
           f"unrolled slab {slab_u.nbytes/2**30:.2f} GiB)", flush=True)
