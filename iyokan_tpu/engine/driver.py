@@ -301,6 +301,26 @@ class Frontend:
             self.vals, self.rams = eng.settle(self.vals, self.rams, self.roms)
             should_negate = True
 
+        # Periodic RAM refresh (tfhe CMUX RAM only): the full-store refresh
+        # bootstrap -- the most expensive stage of a cycle -- runs every
+        # P-th cycle instead of every cycle; skipped cycles keep the CMUX
+        # tree output as the store and refresh only the freshly written
+        # rows (engine._ram_write_all docstring has the noise budget).
+        # The schedule keys off the ABSOLUTE cycle number, so
+        # snapshot/resume reproduces it exactly.
+        period = 1
+        if self.mode == "tfhe" and self.bp.builtin_rams:
+            raw = os.environ.get("IYOKAN_RAM_REFRESH_PERIOD", "16")
+            try:
+                period = max(1, int(raw))
+            except ValueError:
+                log.warning("invalid IYOKAN_RAM_REFRESH_PERIOD=%r (want a "
+                            "positive int); using 16", raw)
+                period = 16
+
+        def refresh_at(cycle_idx: int) -> bool:
+            return period == 1 or (cycle_idx + 1) % period == 0
+
         finflag_port = self.bp.at("finflag")
         # multi-cycle scan: with whole-cycle fusion on and no per-cycle
         # observation requested, every cycle past the first runs inside
@@ -348,8 +368,11 @@ class Frontend:
                 nodes, rows = self._circular_input_rows(
                     self.current_cycle, span
                 )
+                flags = [refresh_at(self.current_cycle + j)
+                         for j in range(span)]
                 self.vals, self.rams = eng.run_cycles(
-                    self.vals, self.rams, self.roms, nodes, rows
+                    self.vals, self.rams, self.roms, nodes, rows,
+                    refresh_flags=flags,
                 )
                 eng.block_until_ready(self.vals)
                 log.info("\tdone. (%d us)",
@@ -405,9 +428,11 @@ class Frontend:
                                  cyc, state["done"], total)
                         state["next"] = state["done"] + 1000
 
+            settle_kw = ({"ram_refresh": refresh_at(self.current_cycle)}
+                         if self.mode == "tfhe" else {})
             self.vals, self.rams = eng.settle(
                 self.vals, self.rams, self.roms,
-                timer=level_times, progress=progress_cb,
+                timer=level_times, progress=progress_cb, **settle_kw,
             )
             eng.block_until_ready(self.vals)
 

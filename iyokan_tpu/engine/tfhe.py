@@ -275,13 +275,18 @@ class TFHEEngine:
         self._groups = groups
         return groups
 
-    def _sweep_body(self, groups, ram_names, keys, vals, rams, roms):
+    def _sweep_body(self, groups, ram_names, keys, vals, rams, roms,
+                    refresh=True):
         """The traced combinational sweep + RAM write shared by the
         single-trace execution modes (_cycle_fn, _scan_fn): level groups,
         per-level memory reads (shared CB, ROM/RAM trees), then the fused
         RAM write.  Returns (vals, ram_outs_tuple).  settle's eager
         group-fused path keeps its own loop so the RAM write stays behind
-        its jitted wrapper (_ram_write_fn)."""
+        its jitted wrapper (_ram_write_fn).
+
+        refresh may be a Python bool (baked into the trace) or a traced
+        scalar bool (the scan path's per-cycle periodic-refresh flag,
+        lowered to lax.cond -- both branches return identical shapes)."""
         ram_sel: Dict[str, jnp.ndarray] = {}
         for entry in groups:
             if entry[0] == "group":
@@ -291,11 +296,19 @@ class TFHEEngine:
                 vals = self._mem_level(keys, vals, rams, roms,
                                        entry[1], ram_sel)
         if ram_names:
-            outs = self._ram_write_all(
-                ram_names, keys, vals,
-                tuple(rams[n] for n in ram_names),
-                tuple(ram_sel[n] for n in ram_names),
-            )
+            stores = tuple(rams[n] for n in ram_names)
+            sels = tuple(ram_sel[n] for n in ram_names)
+            if isinstance(refresh, bool):
+                outs = self._ram_write_all(ram_names, keys, vals, stores,
+                                           sels, refresh=refresh)
+            else:
+                outs = jax.lax.cond(
+                    refresh,
+                    lambda: self._ram_write_all(ram_names, keys, vals,
+                                                stores, sels, refresh=True),
+                    lambda: self._ram_write_all(ram_names, keys, vals,
+                                                stores, sels, refresh=False),
+                )
         else:
             outs = ()
         return vals, outs
@@ -316,14 +329,15 @@ class TFHEEngine:
             # cached partition works); maximal groups if none cached yet
             groups = self._group_plans(10**9)
 
-            def fn(keys, vals, ram_vals, rom_vals):
+            def fn(keys, vals, ram_vals, rom_vals, refresh):
                 return self._sweep_body(
                     groups, ram_names, keys, vals,
                     dict(zip(ram_names, ram_vals)),
                     dict(zip(rom_names, rom_vals)),
+                    refresh=refresh,
                 )
 
-            self._mem_fns[key] = _jit(fn)
+            self._mem_fns[key] = _jit(fn, static_argnums=(4,))
         return self._mem_fns[key]
 
     def _scan_fn(self, ram_names: tuple, rom_names: tuple, in_nodes: tuple):
@@ -333,10 +347,11 @@ class TFHEEngine:
             groups = self._group_plans(10**9)
             idx = (np.asarray(in_nodes, np.int32) if in_nodes else None)
 
-            def fn(keys, vals, ram_vals, rom_vals, in_rows):
+            def fn(keys, vals, ram_vals, rom_vals, in_rows, refresh_flags):
                 roms = dict(zip(rom_names, rom_vals))
 
-                def body(carry, rows):
+                def body(carry, xs):
+                    rows, refresh = xs
                     vals, ram_vals = carry
                     vals = self._tick_impl(vals)
                     if idx is not None:
@@ -344,18 +359,20 @@ class TFHEEngine:
                     vals, outs = self._sweep_body(
                         groups, ram_names, keys, vals,
                         dict(zip(ram_names, ram_vals)), roms,
+                        refresh=(refresh if ram_names else True),
                     )
                     return (vals, outs), None
 
                 (vals, ram_vals), _ = jax.lax.scan(
-                    body, (vals, ram_vals), in_rows
+                    body, (vals, ram_vals), (in_rows, refresh_flags)
                 )
                 return vals, ram_vals
 
             self._mem_fns[key] = _jit(fn)
         return self._mem_fns[key]
 
-    def run_cycles(self, vals, rams, roms, in_nodes, in_rows):
+    def run_cycles(self, vals, rams, roms, in_nodes, in_rows,
+                   refresh_flags=None):
         """Run k = len(in_rows) full cycles (tick -> input scatter ->
         combinational sweep -> RAM write) as ONE dispatch via lax.scan.
 
@@ -366,16 +383,24 @@ class TFHEEngine:
         multi-cycle run is a single device program).
 
         in_nodes: node ids receiving circular inputs each cycle;
-        in_rows: u32 [k, len(in_nodes), n+1] ciphertext rows.
+        in_rows: u32 [k, len(in_nodes), n+1] ciphertext rows;
+        refresh_flags: optional bool [k], the driver's periodic RAM
+        refresh schedule (None = refresh every cycle).
         """
         ram_names = tuple(sorted(rams))
         rom_names = tuple(sorted(roms))
+        k = len(in_rows)
+        if refresh_flags is None:
+            flags = jnp.ones((k,), jnp.bool_)
+        else:
+            flags = jnp.asarray(np.asarray(refresh_flags, np.bool_))
         fn = self._scan_fn(ram_names, rom_names, tuple(in_nodes))
         vals, ram_vals = fn(
             self.keys, vals,
             tuple(rams[n] for n in ram_names),
             tuple(roms[n] for n in rom_names),
             jnp.asarray(np.asarray(in_rows, np.uint32)),
+            flags,
         )
         return vals, dict(zip(ram_names, ram_vals))
 
@@ -585,12 +610,30 @@ class TFHEEngine:
         out = ops.keyswitch_10(lvl1, keys.ksk_mat, p)
         return vals.at[np.asarray(inst.read_nodes, np.int32)].set(out)
 
-    def _ram_write_all(self, names, keys, vals, stores, gns):
+    def _ram_write_all(self, names, keys, vals, stores, gns, refresh=True):
         """All RAM instances' write paths in one traced call: one MUXwoSE
-        blind rotate, per-instance CMUX chains, then ONE fused SEI -> KS ->
-        refresh bootstrap over the concatenated (2^a * w) words of every
-        instance -- the refresh is the widest batch of the cycle, and
-        splitting it per instance would run the 635-step rotation twice."""
+        blind rotate, per-instance CMUX chains, then (refresh=True) ONE
+        fused SEI -> KS -> refresh bootstrap over the concatenated
+        (2^a * w) words of every instance -- the refresh is the widest
+        batch of the cycle, and splitting it per instance would run the
+        635-step rotation twice.
+
+        refresh=False (periodic-refresh cycles, IYOKAN_RAM_REFRESH_PERIOD):
+        the full-store refresh is the single most expensive stage of a
+        cycle (~2^a*w rows of gate bootstrap: 4096 rows on cahp-diamond,
+        about as many as ALL of the cycle's gates) but its only job is
+        noise control -- the CMUX-tree output IS a valid TRLWE store.  Per
+        skipped cycle every word gains only the write-tree noise
+        a * var_extprod ~= 8 * 2^-27.2 = 2^-24.2 (l=3/Bg=64: key term
+        2*l*N*(Bg/2)^2*alpha1^2 + decomp (1+N)*eps^2), ~85x below the
+        standing word noise, so a period-P schedule adds P * 2^-24.2 --
+        at P=16 a negligible 2^-20.2 against the 2^-17.8 refreshed-word
+        floor.  The freshly *written* rows would dominate instead (sum of
+        two rotation outputs = 2x variance): they get their own W-row
+        refresh bootstrap here (W=16 on diamond -- 256x fewer rows than
+        the full-store refresh it replaces).  See test_noise_and_params
+        for the budget regression and PERF.md for the measured effect.
+        """
         p = self.p
         mu = u32(p.mu)
         testv = jnp.full((p.N,), mu)
@@ -607,13 +650,21 @@ class TFHEEngine:
         W = sum(ws)
         tr = ops.blind_rotate(jnp.concatenate(pres1 + pres2),
                               keys.bk_for(2 * W), testv, p, keys.backend)
+        written_all = tr[:W] + tr[W:]
+        written_all = written_all.at[:, 1, 0].add(mu)    # [W, 2, N]
+        if not refresh:
+            # refresh just the W written rows so the store's standing noise
+            # stays at the refreshed-word floor (see docstring)
+            lv1 = ops.sample_extract(written_all, 0)     # [W, N+1]
+            tl0 = ops.keyswitch_10(lv1, keys.ksk_mat, p)
+            written_all = ops.blind_rotate(tl0, keys.bk_for(W), testv,
+                                           p, keys.backend)
 
-        lvl1_rows, shapes = [], []
+        lvl1_rows, shapes, accs = [], [], []
         off = 0
         for inst, store, gn, w in zip(insts, stores, gns, ws):
             a = inst.addr_width
-            written = tr[off:off + w] + tr[W + off:W + off + w]
-            written = written.at[:, 1, 0].add(mu)    # [w, 2, N]
+            written = written_all[off:off + w]
             off += w
 
             addrs = np.arange(1 << a)
@@ -624,10 +675,15 @@ class TFHEEngine:
                 g = gn[j][pol]                       # [2^a, 2l, 2, K, N]
                 g = g[:, None]                       # broadcast over w
                 acc = ops.cmux(g, acc, store, p, keys.backend)
+            if not refresh:
+                accs.append(acc)
+                continue
             lvl1_rows.append(
                 ops.sample_extract(acc, 0).reshape((1 << a) * w, p.N + 1)
             )
             shapes.append((1 << a, w))
+        if not refresh:
+            return tuple(accs)
 
         flat = shard_batch(jnp.concatenate(lvl1_rows))
         tlwe0 = ops.keyswitch_10(flat, keys.ksk_mat, p)
@@ -639,11 +695,12 @@ class TFHEEngine:
             off += A * w
         return tuple(outs)
 
-    def _ram_write_fn(self, names: tuple):
-        key = ("ram_write_all", names)
+    def _ram_write_fn(self, names: tuple, refresh: bool = True):
+        key = ("ram_write_all", names, refresh)
         if key not in self._mem_fns:
             self._mem_fns[key] = _jit(
-                functools.partial(self._ram_write_all, names)
+                functools.partial(self._ram_write_all, names,
+                                  refresh=refresh)
             )
         return self._mem_fns[key]
 
@@ -659,7 +716,7 @@ class TFHEEngine:
         return self._mem_fns[key]
 
     def settle(self, vals, rams, roms, timer=None, progress=None,
-               stages=None):
+               stages=None, ram_refresh=True):
         """Host-driven sweep: one jitted call per level (bucketed shapes)
         plus per-instance memory calls.
 
@@ -703,6 +760,7 @@ class TFHEEngine:
                 keys, vals,
                 tuple(rams[n] for n in ram_names),
                 tuple(roms[n] for n in rom_names),
+                bool(ram_refresh),
             )
             return vals, dict(zip(ram_names, outs))
         fuse = 8 if fuse_env == "all" else int(fuse_env)
@@ -718,7 +776,7 @@ class TFHEEngine:
             new_rams = {}
             if rams:
                 names = tuple(sorted(rams))
-                outs = self._ram_write_fn(names)(
+                outs = self._ram_write_fn(names, bool(ram_refresh))(
                     keys, vals,
                     tuple(rams[n] for n in names),
                     tuple(ram_sel[n] for n in names),
@@ -759,7 +817,7 @@ class TFHEEngine:
         new_rams = {}
         if rams:
             names = tuple(sorted(rams))
-            outs = self._ram_write_fn(names)(
+            outs = self._ram_write_fn(names, bool(ram_refresh))(
                 keys, vals,
                 tuple(rams[n] for n in names),
                 tuple(ram_sel[n] for n in names),

@@ -119,3 +119,46 @@ def test_cggi16_80_gates():
     out, want = _bootstrap_nand(p, sk, ek, 64, 13)
     got = host.decrypt_bits(sk, out)
     np.testing.assert_array_equal(got, want)
+
+
+def test_periodic_ram_refresh_budget():
+    """Analytic budget for IYOKAN_RAM_REFRESH_PERIOD (engine default 16):
+    with the full-store refresh running every P-th cycle, the worst-case
+    RAM word -- refreshed P-1 cycles ago, accumulating one write-tree
+    CMUX pass per skipped cycle at the WIDEST supported address (9 bits,
+    mux-ram-addr9bit) -- must still feed a worst-case XOR (both operands
+    RAM reads, +-2 scaling) with >= 5.5 sigma of margin against the 1/16
+    decryption threshold.  Pure parameter arithmetic: guards the default
+    period against future parameter/gadget changes."""
+    p = params_mod.CGGI128
+    P, a_max = 16, 9
+
+    # per-external-product variance (l=3, Bg=64): key term + decomposition
+    var_key = 2 * p.l * p.N * (p.Bg / 2) ** 2 * p.alpha1 ** 2
+    eps_g = 2.0 ** -(p.l * p.Bgbit)
+    var_dec = (1 + p.N) * eps_g ** 2 / 12
+    var_cmux = var_key + var_dec
+
+    # blind-rotate output variance (pre-KS): anchored to the MEASURED
+    # device value for the shipping lb=2 asymmetric-gadget kernel
+    # (sigma 2^-9.51, PERF.md round 2/3; the analytic sketch in params.py
+    # conservatively overbounds the mod-switch term), with 2x headroom.
+    var_br = (2.0 ** -9.51) ** 2 * 2
+    var_ks = p.N * p.ks_t * 0.5 * p.alpha ** 2  # E[d^2]=1/2, signed digits
+
+    # worst standing word: refreshed P-1 cycles ago, one write-tree pass
+    # (a_max CMUXes) per cycle since, then read through a_max more CMUXes
+    # and the lvl1->lvl0 key switch
+    word = var_br + (P - 1) * a_max * var_cmux
+    read_out = word + a_max * var_cmux + var_ks
+
+    # worst-case gate input: XOR of two RAM reads (coefficients +-2)
+    gate_in = 4 * read_out + 4 * read_out
+    margin = (1.0 / 16.0) / gate_in ** 0.5
+    assert margin >= 5.5, (
+        f"periodic-refresh margin {margin:.2f} sigma at P={P}, a={a_max} "
+        f"(word=2^{np.log2(word):.1f}, read_out=2^{np.log2(read_out):.1f})")
+
+    # and the period-dependent term must stay SMALL relative to the word
+    # floor (the schedule is a cost knob, not a noise knob)
+    assert (P - 1) * a_max * var_cmux < 0.5 * var_br

@@ -170,3 +170,53 @@ def test_multi_cycle_scan_ram_and_inputs(toy_sk, toy_ek, monkeypatch):
     assert normalize(got) == normalize(want)
     # cycle 2 reads back address 2 = the value written on cycle 0
     np.testing.assert_array_equal(got.bits["rdata"], [1, 1, 0, 1])
+
+
+def test_periodic_ram_refresh_matches(toy_sk, toy_ek, monkeypatch):
+    """IYOKAN_RAM_REFRESH_PERIOD > 1 skips the full-store refresh
+    bootstrap on non-period cycles (the single most expensive stage of a
+    RAM cycle) and keeps the CMUX-tree output as the store; decrypted
+    results are identical to the legacy period-1 schedule.  4 cycles at
+    period 3 exercises skip, refresh, and skip-after-refresh cycles."""
+    ram_bits = np.zeros(4 * 4, np.uint8)
+    ram_bits[3 * 4 : 4 * 4] = [1, 1, 1, 1]
+    req = packet_mod.PlainPacket(
+        ram={"ramA": ram_bits},
+        bits={
+            "addr": np.array([0, 1, 1, 1, 0, 1, 1, 0], np.uint8),
+            "wren": np.array([1, 0, 0, 1], np.uint8),
+            "wdata": np.array([1, 1, 0, 1] + [0] * 8 + [0, 1, 1, 0],
+                              np.uint8),
+        },
+    )
+    bp_path = os.path.join(DATA, "tiny-ram.toml")
+    outs = []
+    for period in ("1", "3"):
+        monkeypatch.setenv("IYOKAN_RAM_REFRESH_PERIOD", period)
+        got = run_tfhe(bp_path, req, 4, toy_sk, toy_ek)
+        outs.append((normalize(got), got.ram["ramA"].tolist()))
+    assert outs[0] == outs[1]
+
+
+def test_periodic_ram_refresh_scan_path(toy_sk, toy_ek, monkeypatch):
+    """The scan path threads the per-cycle refresh schedule through
+    lax.scan as a traced flag (lax.cond in the body); a mixed
+    skip/refresh span decrypts identically to period 1."""
+    monkeypatch.setenv("IYOKAN_FUSE_LEVELS", "all")
+    monkeypatch.setenv("IYOKAN_SCAN_CHUNK", "2")
+    ram_bits = np.zeros(4 * 4, np.uint8)
+    ram_bits[3 * 4 : 4 * 4] = [1, 1, 1, 1]
+    req = packet_mod.PlainPacket(
+        ram={"ramA": ram_bits},
+        bits={
+            "addr": np.array([0, 1, 1, 1, 0, 1], np.uint8),  # 2, 3, 2
+            "wren": np.array([1, 0, 0], np.uint8),
+            "wdata": np.array([1, 1, 0, 1] + [0] * 8, np.uint8),
+        },
+    )
+    bp_path = os.path.join(DATA, "tiny-ram.toml")
+    monkeypatch.setenv("IYOKAN_RAM_REFRESH_PERIOD", "2")
+    got = run_tfhe(bp_path, req, 3, toy_sk, toy_ek)
+    want = run_plain(bp_path, req, 3)
+    assert normalize(got) == normalize(want)
+    np.testing.assert_array_equal(got.bits["rdata"], [1, 1, 0, 1])

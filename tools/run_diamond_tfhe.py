@@ -94,6 +94,27 @@ def main():
         print(f"  {'dispatch':>10}: {over:6.2f}s ({100*over/stot:4.1f}%)",
               flush=True)
 
+        period = int(os.environ.get("IYOKAN_RAM_REFRESH_PERIOD", "16"))
+        if period > 1:
+            # same breakdown for a SKIP-refresh cycle (the common case
+            # under the periodic schedule: period-1 of every period)
+            fe.engine.settle(fe.vals, fe.rams, fe.roms, stages={},
+                             ram_refresh=False)
+            skip_stages = {}
+            t0 = time.time()
+            fe.engine.settle(fe.vals, fe.rams, fe.roms, stages=skip_stages,
+                             ram_refresh=False)
+            sk_tot = time.time() - t0
+            print(f"per-stage breakdown (one synced, unfused SKIP-refresh "
+                  f"cycle, {sk_tot:.2f}s; schedule: {period-1} of every "
+                  f"{period}):", flush=True)
+            for cat in ("gates", "simple", "cb", "rom_read", "ram_read",
+                        "ram_write"):
+                if cat in skip_stages:
+                    print(f"  {cat:>10}: {skip_stages[cat]:6.2f}s "
+                          f"({100*skip_stages[cat]/sk_tot:4.1f}%)",
+                          flush=True)
+
     res = fe.make_result_packet().decrypt(sk)
     want = packet_mod.PlainPacket.from_toml_file(fixture(GOLDEN))
     ok = normalize(res) == normalize(want)
