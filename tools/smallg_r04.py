@@ -32,6 +32,14 @@ CACHE = os.environ.get("IYOKAN_KEY_CACHE", "/tmp/iyokan-keys")
 GS = [int(g) for g in os.environ.get(
     "SMALLG_GS", "32,64,128,192,256,512").split(",")]
 REPS = int(os.environ.get("SMALLG_REPS", "5"))
+# Which routes to measure (skips the key prep of the others -- the bku
+# NTT prep alone is minutes of device time): subset of
+# bku-ntt,tkey,tkey-unroll,sei+ks
+ROUTES = set(os.environ.get(
+    "SMALLG_ROUTES", "bku-ntt,tkey,tkey-unroll,sei+ks").split(","))
+# Pipeline chain counts to sweep for the tkey route (each count is a
+# fresh jit trace; the kernel reads IYOKAN_TK_CHAINS at trace time).
+CHAINS = [int(c) for c in os.environ.get("SMALLG_CHAINS", "0").split(",")]
 
 
 def main():
@@ -59,19 +67,25 @@ def main():
 
     L, lay, lb = ops.tkey_default_config(p)
     t0 = time.time()
-    slab = jnp.asarray(pm.tkey_kernel_key(ek.bk, p, L, "fat", lb=lb))
-    bku_rows = ek.bku.reshape(ek.bku.shape[0], 6 * p.l, 2, p.N)
-    slab_u = jnp.asarray(pm.tkey_kernel_key(bku_rows, p, L, "fat", lb=lb))
+    slab = slab_u = bkuntt = None
     be = pm.get_backend()
-    bkuntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(bku_rows))
+    if ROUTES & {"tkey", "sei+ks"}:
+        slab = jnp.asarray(pm.tkey_kernel_key(ek.bk, p, L, "fat", lb=lb))
+    if ROUTES & {"tkey-unroll", "bku-ntt"}:
+        bku_rows = ek.bku.reshape(ek.bku.shape[0], 6 * p.l, 2, p.N)
+        if "tkey-unroll" in ROUTES:
+            slab_u = jnp.asarray(
+                pm.tkey_kernel_key(bku_rows, p, L, "fat", lb=lb))
+        if "bku-ntt" in ROUTES:
+            bkuntt = jax.jit(lambda bk: be.prep1(bk, p))(
+                jnp.asarray(bku_rows))
     ksk_flat = ek.ksk.reshape(p.N * p.ks_t, p.n + 1)
     if os.environ.get("IYOKAN_KS_I8", "1") != "0":
         ksk_mat = jnp.asarray(ops.key_i8_limbs(ksk_flat))  # int8 MXU path
     else:
         ksk_mat = jnp.asarray(ksk_flat)
     print(f"# key prep {time.time()-t0:.1f}s "
-          f"(slab {slab.nbytes/2**30:.2f} GiB, "
-          f"unrolled slab {slab_u.nbytes/2**30:.2f} GiB)", flush=True)
+          f"(routes {sorted(ROUTES)}, chains {CHAINS})", flush=True)
 
     testv = jnp.full((p.N,), jnp.uint32(p.mu))
     rng = np.random.default_rng(7)
@@ -103,15 +117,27 @@ def main():
 
         # keys are ARGUMENTS, never closure constants: a captured 2-3 GB
         # slab ships inside the HLO to the remote compiler (HTTP 413)
-        routes = [
-            ("bku-ntt", jax.jit(lambda A, B, bk: ops.blind_rotate(
-                pre_of(A, B), bk, testv, p, be)), bkuntt),
-            ("tkey", jax.jit(lambda A, B, bk: blind_rotate_tkey(
-                pre_of(A, B), bk, testv, p)), slab),
-            ("tkey-unroll", jax.jit(lambda A, B, bk: blind_rotate_tkey(
-                pre_of(A, B), bk, testv, p)), slab_u),
-        ]
+        routes = []
+        if "bku-ntt" in ROUTES:
+            routes.append(("bku-ntt", jax.jit(
+                lambda A, B, bk: ops.blind_rotate(
+                    pre_of(A, B), bk, testv, p, be)), bkuntt))
+        if "tkey" in ROUTES:
+            for c in CHAINS:
+                if c:
+                    os.environ["IYOKAN_TK_CHAINS"] = str(c)
+                # fresh jit wrapper per chain count: the kernel reads
+                # IYOKAN_TK_CHAINS when it traces
+                routes.append((f"tkey-c{c}" if c else "tkey", jax.jit(
+                    lambda A, B, bk: blind_rotate_tkey(
+                        pre_of(A, B), bk, testv, p)), slab))
+        if "tkey-unroll" in ROUTES:
+            routes.append(("tkey-unroll", jax.jit(
+                lambda A, B, bk: blind_rotate_tkey(
+                    pre_of(A, B), bk, testv, p)), slab_u))
         for name, fn, bk in routes:
+            if name.startswith("tkey-c"):
+                os.environ["IYOKAN_TK_CHAINS"] = name[6:]
             try:
                 dt, cold, tr = timed(fn, A, B, bk)
             except Exception as e:  # noqa: BLE001
@@ -126,6 +152,8 @@ def main():
                   f"{', %d WRONG' % bad if bad else ''})", flush=True)
 
         # per-level epilogue: SEI + KS at this G (consumes route B's out)
+        if "sei+ks" not in ROUTES:
+            continue
         try:
             tr = jax.jit(lambda A, B, bk: blind_rotate_tkey(
                 pre_of(A, B), bk, testv, p))(A, B, slab)
