@@ -6,7 +6,10 @@ process (one axon warmup) measures many variants.  Reports ms per batch and
 gates/s for the full bootstrap path (linear combine is excluded; modswitch +
 blind rotate + extract included, key switch excluded to isolate the kernel).
 
-Usage: python tools/tk_pipe_sweep.py [reps]
+Usage: python tools/tk_pipe_sweep.py [reps] [--only substr1,substr2]
+       (--only runs just the rows whose tag contains a substring --
+        e.g. --only ablated re-measures the two rows round 3 lost to
+        transient remote-compile SIGABRTs)
 """
 
 import os
@@ -16,6 +19,12 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
+
+ONLY = None
+if "--only" in sys.argv:
+    i = sys.argv.index("--only")
+    ONLY = sys.argv[i + 1].split(",")
+    del sys.argv[i:i + 2]
 
 
 def main():
@@ -36,6 +45,8 @@ def main():
     rng = np.random.default_rng(2)
 
     def run(tag, G, env, _attempt=1):
+        if ONLY is not None and not any(s in tag for s in ONLY):
+            return
         saved = {}
         for k, v in env.items():
             saved[k] = os.environ.get(k)
@@ -96,6 +107,18 @@ def main():
     run("pipe lb=2 vpu-ablated (exposed MXU+ovh)", 1024,
         {"IYOKAN_TK_ABLATE": "rot,decompose,recomb",
          "IYOKAN_TK_PIPE": "force"})
+    # fine-grained VPU anatomy on the PIPE kernel (round 4): which of the
+    # three VPU stages holds the 128 - 84 ms residual.  Each row knocks
+    # out ONE stage; delta vs the pipe-force baseline is that stage's
+    # unhidden share.
+    run("pipe lb=2 force (fine-ablation baseline)", 1024,
+        {"IYOKAN_TK_PIPE": "force"})
+    run("pipe lb=2 rot-ablated", 1024,
+        {"IYOKAN_TK_ABLATE": "rot", "IYOKAN_TK_PIPE": "force"})
+    run("pipe lb=2 decompose-ablated", 1024,
+        {"IYOKAN_TK_ABLATE": "decompose", "IYOKAN_TK_PIPE": "force"})
+    run("pipe lb=2 recomb-ablated", 1024,
+        {"IYOKAN_TK_ABLATE": "recomb", "IYOKAN_TK_PIPE": "force"})
     run("pipe lb=2 + 3 chains BG=341->384", 1152, {"IYOKAN_TK_CHAINS": "3",
                                                    "IYOKAN_PALLAS_BG": "384"})
     run("pipe lb=2 + 4 chains BG=256", 1024,
