@@ -217,7 +217,7 @@ def _kernel(p: Params, n_steps, L, fat, split, unroll, fat2, ablate, lb,
 
 
 def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
-                 kmaj, unroll, abar_ref, acca_ref, accb_ref, bk_hbm,
+                 kmaj, unroll, slots, abar_ref, acca_ref, accb_ref, bk_hbm,
                  outa_ref, outb_ref, bk_buf, sems):
     """Software-pipelined fat+split kernel: C independent gate chains
     (rows [c*BG:(c+1)*BG]) interleaved so one chain's VPU work
@@ -284,7 +284,13 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
         return pltpu.make_async_copy(bk_hbm.at[i], bk_buf.at[slot],
                                      sems.at[slot])
 
-    dma(0, 0).start()
+    # S-deep DMA pipeline (S=2 is classic double buffering).  At small G
+    # the step loop is DMA-BOUND (G=32: 17 us/step for a 3.9 MB step slab
+    # = ~230 GB/s, a quarter of the chip's HBM bandwidth): keeping S-1
+    # copies outstanding lets the memory system overlap latency across
+    # steps, which is the task-graph level floor's lever.
+    for k in range(slots - 1):
+        dma(k, k).start()
 
     def ext_of(pa, pb, rs):
         """Rotate-diff + gadget decomposition -> interleaved +d digit
@@ -403,11 +409,12 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
     def body(i, carry):
         accs, exts, ss_last = carry
         accs, exts = list(accs), list(exts)
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, slots)
 
-        @pl.when(i + 1 < n_steps)
+        @pl.when(i + slots - 1 < n_steps)
         def _():
-            dma(i + 1, 1 - slot).start()
+            nxt = i + slots - 1
+            dma(nxt, jax.lax.rem(nxt, slots)).start()
 
         dma(i, slot).wait()
         bk = bk_buf[slot]
@@ -457,11 +464,12 @@ def _kernel_pipe(p: Params, n_steps, L, fat2, ablate, ext8, chains, lb,
 def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
                fat2: bool = False, ablate: frozenset = frozenset(),
                ext8: bool = False, chains: int = 2, lb: int = None,
-               kmaj: bool = False, unroll: bool = False):
+               kmaj: bool = False, unroll: bool = False, slots: int = 2):
     if lb is None:
         lb = p.l
+    slots = max(2, min(slots, n_steps))
     kernel = functools.partial(_kernel_pipe, p, n_steps, L, fat2, ablate,
-                               ext8, chains, lb, kmaj, unroll)
+                               ext8, chains, lb, kmaj, unroll, slots)
     M = 3 if unroll else 1
     part_spec = pl.BlockSpec((chains * BG, p.N), lambda g: (g, 0),
                              memory_space=pltpu.VMEM)
@@ -480,9 +488,10 @@ def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
                    jax.ShapeDtypeStruct((G, p.N), u32)),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, (2 if fat2 else 1) * M * (p.l + lb) * p.N, 2 * L * 128),
+                (slots,
+                 (2 if fat2 else 1) * M * (p.l + lb) * p.N, 2 * L * 128),
                 i8),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((slots,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -493,7 +502,8 @@ def _call_pipe(p: Params, G: int, BG: int, n_steps: int, L: int,
 
 def _probe_compile(p: Params, Gp: int, BG: int, n_steps: int, L: int,
                    fat2: bool, ext8: bool, chains: int, lb: int,
-                   kmaj: bool, unroll: bool, bk_shape: tuple):
+                   kmaj: bool, unroll: bool, bk_shape: tuple,
+                   slots: int = 2):
     """Compile a pipe-kernel config standalone (abstract inputs, no
     execution).  Mosaic compiles a Pallas kernel deterministically from
     its own module, independent of the surrounding XLA program, so a
@@ -503,7 +513,7 @@ def _probe_compile(p: Params, Gp: int, BG: int, n_steps: int, L: int,
 
     M = 3 if unroll else 1
     call = _call_pipe(p, Gp, BG, n_steps, L, fat2, frozenset(), ext8,
-                      chains, lb, kmaj, unroll)
+                      chains, lb, kmaj, unroll, slots)
     rows = jax.ShapeDtypeStruct((M * (n_steps + 1), Gp), jnp.int32)
     acc = jax.ShapeDtypeStruct((Gp, p.N), u32)
     bk = jax.ShapeDtypeStruct(bk_shape, jnp.int8)
@@ -513,7 +523,8 @@ def _probe_compile(p: Params, Gp: int, BG: int, n_steps: int, L: int,
 @functools.lru_cache(maxsize=None)
 def _pipe_compile_ok(p: Params, Gp: int, BG: int, n_steps: int, L: int,
                      fat2: bool, ext8: bool, chains: int, lb: int,
-                     kmaj: bool, unroll: bool, bk_shape: tuple) -> bool:
+                     kmaj: bool, unroll: bool, bk_shape: tuple,
+                     slots: int = 2) -> bool:
     """Per-shape guard for the pipelined kernel: some shapes crash the
     Mosaic compiler (kmaj at BG=128, SMALLG_r03.log; the plain pipe at
     BG=128 with grid padding, SMALLG_r04.log), and a production engine
@@ -522,14 +533,15 @@ def _pipe_compile_ok(p: Params, Gp: int, BG: int, n_steps: int, L: int,
     compile (~6-60 s on device, paid once per shape per process)."""
     try:
         _probe_compile(p, Gp, BG, n_steps, L, fat2, ext8, chains, lb,
-                       kmaj, unroll, bk_shape)
+                       kmaj, unroll, bk_shape, slots)
         return True
     except Exception as e:  # noqa: BLE001 - any compile failure reroutes
         import warnings
 
         warnings.warn(
             f"tkey pipe kernel fails to compile at (G={Gp}, BG={BG}, "
-            f"chains={chains}, lb={lb}, kmaj={kmaj}, unroll={unroll}): "
+            f"chains={chains}, lb={lb}, kmaj={kmaj}, unroll={unroll}, "
+            f"slots={slots}): "
             f"{str(e).splitlines()[0][:200]} -- rerouting this shape")
         return False
 
@@ -693,17 +705,27 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
             cands.append((bg_c, bg_c < 128 if kmaj_env == "auto"
                           else kmaj_env == "1"))
             bg_c //= 2
+        # DMA pipeline depth: small (latency-bound) batches default to a
+        # deeper pipeline -- the step loop is DMA-bound there and extra
+        # outstanding copies recover HBM bandwidth; large batches keep
+        # classic double buffering (DMA already fully hidden, round-2
+        # dma-ablation) and the VMEM for wide accumulators.
+        slots_env = os.environ.get("IYOKAN_TK_SLOTS", "auto")
+        if slots_env == "auto":
+            slots = 4 if Gp <= 256 else 2
+        else:
+            slots = max(2, int(slots_env))
         pc_env = os.environ.get("IYOKAN_TK_PRECHECK")
         precheck = pc_env != "0" and (
             pc_env == "1" or not os.environ.get("IYOKAN_PALLAS_INTERPRET"))
         for bg_c, km_c in cands:
             if precheck and not _pipe_compile_ok(
                     p, Gp, bg_c, n_steps, L, fat2, ext8, chains, lb,
-                    km_c, unroll, bk_tk.shape):
+                    km_c, unroll, bk_tk.shape, slots):
                 continue
             outa, outb = _call_pipe(p, Gp, bg_c, n_steps, L, fat2, ablate,
                                     ext8, chains, lb, km_c,
-                                    unroll)(rows, acc_a, acc_b, bk_tk)
+                                    unroll, slots)(rows, acc_a, acc_b, bk_tk)
             return jnp.stack([outa, outb], axis=1)[:G]
         rows = rows[:M * n_steps]                   # serial takes no pad
     BG = min(block_g, max(8, Gp))

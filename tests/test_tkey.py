@@ -116,6 +116,30 @@ def test_tkey_pipelined_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
     np.testing.assert_array_equal(got, want)
 
 
+def test_tkey_deep_dma_slots_bitexact(toy, toy_ek, toy_dk, toy_sk, rng,
+                                      monkeypatch):
+    """S-deep DMA pipelining (IYOKAN_TK_SLOTS > 2) == XLA path: the
+    buffering depth is pure schedule, never math.  Small batches default
+    to slots=4 (the step loop is DMA-bound there); this pins the slot
+    indexing (wait i%S after starting i+S-1) at S=3 and S=4."""
+    from iyokan_tpu.ops.pallas_tk import blind_rotate_tkey
+
+    p = toy
+    bits = rng.integers(0, 2, 16, dtype=np.uint8)
+    ct = jnp.asarray(host.encrypt_bits(toy_sk, bits, rng))
+    testv = jnp.full((p.N,), jnp.uint32(p.mu))
+
+    bk_fat = jnp.asarray(pm.tkey_kernel_key(toy_ek.bk, p, limbs=4,
+                                            layout="fat"))
+    want = np.asarray(ops.blind_rotate(ct, toy_dk.bkntt, testv, p,
+                                       toy_dk.backend))
+    for s in ("3", "4"):
+        monkeypatch.setenv("IYOKAN_TK_SLOTS", s)
+        got = np.asarray(blind_rotate_tkey(ct, bk_fat, testv, p,
+                                           block_g=8))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_tkey_fat2_blind_rotate_bitexact_4limb(toy, toy_ek, toy_dk,
                                                toy_sk, rng):
     """Doubled-slab (fat2) layout == XLA path on both the serial (G=8)
