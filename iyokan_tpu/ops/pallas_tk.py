@@ -718,15 +718,20 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
         pc_env = os.environ.get("IYOKAN_TK_PRECHECK")
         precheck = pc_env != "0" and (
             pc_env == "1" or not os.environ.get("IYOKAN_PALLAS_INTERPRET"))
-        for bg_c, km_c in cands:
-            if precheck and not _pipe_compile_ok(
-                    p, Gp, bg_c, n_steps, L, fat2, ext8, chains, lb,
-                    km_c, unroll, bk_tk.shape, slots):
-                continue
-            outa, outb = _call_pipe(p, Gp, bg_c, n_steps, L, fat2, ablate,
-                                    ext8, chains, lb, km_c,
-                                    unroll, slots)(rows, acc_a, acc_b, bk_tk)
-            return jnp.stack([outa, outb], axis=1)[:G]
+        # a deeper DMA pipeline is schedule-only, but if slots > 2 itself
+        # upsets Mosaic on some shape, fall back to classic double
+        # buffering before giving up on the pipe kernel entirely
+        slot_cands = [slots] + ([2] if slots != 2 else [])
+        for s_c in slot_cands:
+            for bg_c, km_c in cands:
+                if precheck and not _pipe_compile_ok(
+                        p, Gp, bg_c, n_steps, L, fat2, ext8, chains, lb,
+                        km_c, unroll, bk_tk.shape, s_c):
+                    continue
+                outa, outb = _call_pipe(
+                    p, Gp, bg_c, n_steps, L, fat2, ablate, ext8, chains,
+                    lb, km_c, unroll, s_c)(rows, acc_a, acc_b, bk_tk)
+                return jnp.stack([outa, outb], axis=1)[:G]
         rows = rows[:M * n_steps]                   # serial takes no pad
     BG = min(block_g, max(8, Gp))
     while Gp % BG:                   # serial grid needs BG to divide Gp
