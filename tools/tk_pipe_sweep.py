@@ -127,6 +127,11 @@ def main():
         {"IYOKAN_TK_CHAINS": "6", "IYOKAN_PALLAS_BG": "192"})
     run("pipe lb=2 G=2048 BG=512 (grid 2)", 2048, {})
     run("pipe lb=2 G=2048 4 chains BG=512", 2048, {"IYOKAN_TK_CHAINS": "4"})
+    # G=4096: isolates the remaining fixed per-dispatch share (G=1024->
+    # 2048 bought +4-6%; if that was fixed overhead f, 2048->4096 buys
+    # f/2 more) and gives the MXU longer uninterrupted dot chains
+    run("pipe lb=2 G=4096 (grid 4)", 4096, {})
+    run("pipe lb=2 G=4096 4 chains", 4096, {"IYOKAN_TK_CHAINS": "4"})
     run("serial lb=2 G=2048 BG=1024", 2048,
         {"IYOKAN_TK_PIPE": "0", "IYOKAN_PALLAS_BG": "1024"})
     run("pipe lb=3 + 4 chains BG=256", 1024,
