@@ -617,6 +617,27 @@ _DEVICE_KEY_CACHE: "collections.OrderedDict" = collections.OrderedDict()
 _DEVICE_KEY_CACHE_MAX = int(os.environ.get("IYOKAN_KEY_CACHE_SLOTS", "2"))
 
 
+def _slab_disk_path(cache_key):
+    """On-disk cache location for the expanded tkey slab (or None).
+
+    The host-side Toeplitz expansion is ~31 s at cggi128 for a 2.33 GiB
+    int8 slab that np.load brings back in ~2 s -- and every fresh process
+    (bench, the registry runner, each tool) pays it otherwise.  Keyed by
+    the same fingerprint tuple as the in-process LRU (key material hash +
+    every prep-affecting env knob), so a stale hit is as unlikely as a
+    wrong in-process hit.  IYOKAN_SLAB_CACHE=0 disables; a directory
+    value overrides the location (default: the IYOKAN_KEY_CACHE dir)."""
+    d = os.environ.get("IYOKAN_SLAB_CACHE", "")
+    if d == "0":
+        return None
+    if not d:
+        d = os.environ.get("IYOKAN_KEY_CACHE", "/tmp/iyokan-keys")
+    import hashlib
+
+    tag = hashlib.sha1(repr(cache_key).encode()).hexdigest()[:16]
+    return os.path.join(d, f"tkslab-{tag}.npy")
+
+
 @dataclasses.dataclass
 class DeviceKeys:
     """Evaluation key pre-transformed for the runtime ops.
@@ -745,9 +766,25 @@ class DeviceKeys:
                     "on such keys. Regenerate the eval key (host.genevalkey "
                     "quantizes masks by default) or set IYOKAN_TKEY_LIMBS=4.")
             # asymmetric gadget (see tkey_kernel_key): lb b-part digits
-            bkntt = jnp.asarray(
-                polymul.tkey_kernel_key(src, p, L, lay, lb=lb)
-            )
+            slab = None
+            spath = _slab_disk_path(cache_key)
+            if spath and os.path.exists(spath):
+                try:
+                    slab = np.load(spath)
+                except (OSError, ValueError):
+                    slab = None
+            if slab is None:
+                slab = polymul.tkey_kernel_key(src, p, L, lay, lb=lb)
+                if spath:
+                    try:
+                        os.makedirs(os.path.dirname(spath), exist_ok=True)
+                        tmp = f"{spath}.tmp{os.getpid()}"
+                        with open(tmp, "wb") as f:
+                            np.save(f, slab)
+                        os.replace(tmp, spath)
+                    except OSError:
+                        pass
+            bkntt = jnp.asarray(slab)
         else:
             tku = False
             bkntt = jax.jit(lambda bk: be.prep1(bk, p))(jnp.asarray(ek.bk))

@@ -6,6 +6,8 @@ the blind rotation is bit-identical to the XLA path; the 3-limb default is
 checked at the decrypt level.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -449,3 +451,27 @@ def test_tkey_kmaj_i8_assembly_bitexact(toy, toy_ek, toy_dk, toy_sk, rng,
     for bg in (32, 8):
         got = np.asarray(blind_rotate_tkey(ct, bk, testv, p, block_g=bg))
         np.testing.assert_array_equal(got, want, err_msg=f"BG={bg}")
+
+
+def test_tkey_slab_disk_cache_roundtrip(toy, toy_ek, tmp_path, monkeypatch):
+    """The on-disk slab cache returns the identical expansion.
+
+    A fresh process pays ~31 s of host Toeplitz expansion at cggi128
+    otherwise (ops._slab_disk_path); the cache must be keyed so a second
+    build in a clean in-process LRU loads the same bytes from disk."""
+    monkeypatch.setenv("IYOKAN_BR_IMPL", "tkey")
+    monkeypatch.setenv("IYOKAN_SLAB_CACHE", str(tmp_path))
+    monkeypatch.setattr(ops, "_DEVICE_KEY_CACHE", type(
+        ops._DEVICE_KEY_CACHE)())
+    k1 = ops.DeviceKeys.from_evalkey(toy_ek, with_cb=False)
+    files = [f for f in os.listdir(tmp_path) if f.startswith("tkslab-")]
+    assert len(files) == 1 and files[0].endswith(".npy")
+    ops._DEVICE_KEY_CACHE.clear()
+    k2 = ops.DeviceKeys.from_evalkey(toy_ek, with_cb=False)
+    np.testing.assert_array_equal(np.asarray(k1.bkntt), np.asarray(k2.bkntt))
+    # a corrupt cache file must fall back to a fresh build, not crash
+    with open(os.path.join(tmp_path, files[0]), "wb") as f:
+        f.write(b"not an npy")
+    ops._DEVICE_KEY_CACHE.clear()
+    k3 = ops.DeviceKeys.from_evalkey(toy_ek, with_cb=False)
+    np.testing.assert_array_equal(np.asarray(k1.bkntt), np.asarray(k3.bkntt))
