@@ -31,6 +31,7 @@ import random
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -160,6 +161,19 @@ class Runner:
                     continue
                 start = time.time()
                 ok = False
+                # liveness heartbeat: encrypted MUX-memory tests run tens
+                # of minutes with --quiet (compile + device cycles) and the
+                # record otherwise goes silent -- a wedged tunnel and a
+                # slow test look identical from the log (round-5 session)
+                hb_stop = threading.Event()
+
+                def hb(name=t["name"], t0=start, ev=hb_stop):
+                    while not ev.wait(180):
+                        print(f"[hb] {name} still running "
+                              f"({time.time() - t0:.0f}s)", flush=True)
+
+                hb_thread = threading.Thread(target=hb, daemon=True)
+                hb_thread.start()
                 for attempt in range(1, retries + 1):
                     print(f"Test {t['name']} running"
                           + (f" (attempt {attempt}/{retries})"
@@ -174,6 +188,7 @@ class Runner:
                         print(f"Test {t['name']} FAILED"
                               f" (attempt {attempt}/{retries}): {e}",
                               flush=True)
+                hb_stop.set()
                 if not ok:
                     failed.append(t["name"])
                 self.results.append({
