@@ -22,6 +22,7 @@ Built-in CMUX memories follow the reference dataflow exactly
 
 from __future__ import annotations
 
+import os
 import functools
 from typing import Dict
 
@@ -152,6 +153,37 @@ class TFHEEngine:
             "copy_src": plan.copy_src, "copy_out": plan.copy_out,
         }
 
+    def _chunked_bootstrap(self, keys, batch):
+        """Bootstrap a level batch as power-of-two chunks of at most
+        IYOKAN_BOOT_CHUNK rows (default 2048).
+
+        Bucketed level sizes are nb_bucket + 2*nm_bucket, so wide
+        MUX-memory circuits produce batches like 4128 or 8192 -- kernel
+        shapes no device run had ever compiled (the round-3 AND round-4
+        registry sessions both died at tfhe-mux-ram-8-16-16-08, the
+        first test to hit them; the G>4096 remote compile is the wedge
+        suspect).  Power-of-two chunks capped at 2048 keep every
+        dispatch on a known-compiling, swept shape (G=2048 is also the
+        best-throughput point, SWEEP_r03.log) and maximize XLA
+        compile-cache reuse across circuits.  Bucket sizes decompose
+        exactly: 4128 -> 2048+2048+32, 8192 -> 4x2048.
+        IYOKAN_BOOT_CHUNK=0 restores single-dispatch batches."""
+        p = self.p
+        total = batch.shape[0]
+        cap = int(os.environ.get("IYOKAN_BOOT_CHUNK", "2048"))
+        if cap <= 0 or total <= 16:
+            return ops.gate_bootstrap_tlwe1(batch, keys.bk_for(total),
+                                            p, keys.backend)
+        outs, i = [], 0
+        while i < total:
+            c = 1 << (min(cap, total - i).bit_length() - 1)
+            outs.append(ops.gate_bootstrap_tlwe1(
+                batch[i : i + c], keys.bk_for(c), p, keys.backend))
+            i += c
+        if len(outs) == 1:
+            return outs[0]
+        return jnp.concatenate(outs, axis=0)
+
     def _level_body(self, nb, nm, keys, vals, ba, bb, ca, cb, kk, bo,
                     ma, mb, ms, mo):
         """One level's gather -> batched bootstrap -> scatter (traced)."""
@@ -171,8 +203,7 @@ class TFHEEngine:
             pre2 = (Av - S).at[:, p.n].add(u32(0) - mu)
             pres.extend([pre1, pre2])
         batch = shard_batch(jnp.concatenate(pres, axis=0))
-        t1 = ops.gate_bootstrap_tlwe1(batch, keys.bk_for(nb + 2 * nm),
-                                      p, keys.backend)
+        t1 = self._chunked_bootstrap(keys, batch)
         rows = []
         if nb:
             rows.append(t1[:nb])

@@ -220,3 +220,16 @@ def test_periodic_ram_refresh_scan_path(toy_sk, toy_ek, monkeypatch):
     want = run_plain(bp_path, req, 3)
     assert normalize(got) == normalize(want)
     np.testing.assert_array_equal(got.bits["rdata"], [1, 1, 0, 1])
+
+
+def test_chunked_bootstrap_matches(toy_sk, toy_ek, monkeypatch):
+    """A tiny IYOKAN_BOOT_CHUNK forces every level's bootstrap through
+    the power-of-two chunk decomposition (engine/tfhe.py
+    _chunked_bootstrap); the decrypted run must match the golden
+    exactly -- chunked dispatches are a pure reassociation."""
+    monkeypatch.setenv("IYOKAN_BOOT_CHUNK", "16")
+    req = packet_mod.PlainPacket.from_toml_file(fixture("in/test04.in"))
+    got = run_tfhe(fixture("config-toml/addr-4bit.toml"), req, 1,
+                   toy_sk, toy_ek)
+    want = packet_mod.PlainPacket.from_toml_file(fixture("out/test04.out"))
+    assert normalize(got) == normalize(want)
