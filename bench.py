@@ -234,8 +234,9 @@ def run_best_config():
         return
     best_env = os.environ.get("BENCH_BEST_ENV", "IYOKAN_TK_CHAINS=4")
     env = dict(os.environ, BENCH_DIAMOND="0", BENCH_BEST="0")
-    if os.environ.get("BENCH_BEST_G"):
-        env["BENCH_G"] = os.environ["BENCH_BEST_G"]
+    # G=4096 + 4 chains is the round-5 sweep best (8738 gates/s,
+    # SWEEP_r05.log); the shape guard reroutes its one failing BG point
+    env["BENCH_G"] = os.environ.get("BENCH_BEST_G", "4096")
     for kv in best_env.split(","):
         k, _, v = kv.partition("=")
         env[k.strip()] = v.strip()
