@@ -78,19 +78,19 @@ def main():
         a_bits = rng.integers(0, 2, G, dtype=np.uint8)
         X = jnp.asarray(host.encrypt_bits(sk, a_bits, rng))
 
-        def nand_level(x):
+        def nand_level(keys, x):
             pre = ops.gate_linear(x, jnp.roll(x, 1, axis=0), cav, cbv,
                                   kkv, p)
             t1 = ops.gate_bootstrap_tlwe1(pre, keys.bk_for(G), p,
                                           keys.backend)
             return ops.keyswitch_10(t1, keys.ksk_mat, p)
 
-        def chain_full(x):
+        def chain_full(keys, x):
             for _ in range(LVLS):
-                x = nand_level(x)
+                x = nand_level(keys, x)
             return x
 
-        def chain_br_only(x):
+        def chain_br_only(keys, x):
             # lvl1 output re-sliced to lvl0 width: keeps the BR->BR data
             # dependency with NO SEI/KS stage (content garbage after L1)
             for _ in range(LVLS):
@@ -101,7 +101,7 @@ def main():
                 x = t1[:, : p.n + 1]
             return x
 
-        def chain_ks_only(x1):
+        def chain_ks_only(keys, x1):
             # lvl1 -> (KS) -> lvl0 -> zero-pad back to lvl1 width
             for _ in range(LVLS):
                 t0l = ops.keyswitch_10(x1, keys.ksk_mat, p)
@@ -117,7 +117,7 @@ def main():
 
         for name, fn, arg in rows:
             try:
-                dt, cold, out = timed(fn, arg)
+                dt, cold, out = timed(fn, keys, arg)
             except Exception as e:  # noqa: BLE001
                 print(f"{name:8s} G={G:4d}  FAILED: "
                       f"{str(e).splitlines()[0][:140]}", flush=True)
