@@ -630,7 +630,13 @@ def blind_rotate_tkey(tlwe0: jnp.ndarray, bk_tk: jnp.ndarray,
     split = fat and os.environ.get("IYOKAN_TK_DOTS", "split") == "split"
     pipe_env = os.environ.get("IYOKAN_TK_PIPE", "1")
     chains = int(os.environ.get("IYOKAN_TK_CHAINS", "2"))
-    pipe = (fat and split
+    # the pipe kernel's modulo schedule needs >= 2 chains: chain C-1's
+    # window-0 extension is a zero placeholder that is only rebuilt in
+    # time when another chain leads it -- at C=1 the first window's dots
+    # consume the zeros and the output is WRONG (measured: 13/32 and
+    # 70/128 bad NANDs, SMALLG_r05.log).  chains=1 routes to the serial
+    # kernel instead.
+    pipe = (fat and split and chains >= 2
             and (not ablate or pipe_env == "force")
             and pipe_env != "0")
     if pipe:
