@@ -34,3 +34,18 @@ timeout 3500 python tools/run_diamond_tfhe.py 2>&1 | tee -a DIAMOND_r05.log
 # 5. bench end-to-end -- ALSO the compile-cache prewarm for the driver's
 #    own bench invocation at round end (same programs, same shapes)
 timeout 3000 python bench.py 2>&1 | tee -a BENCH_r05_pre.log
+
+# ---------------------------------------------------------------------
+# POSTSCRIPT (end of round 5): how the plan actually ran.
+#   stage 0  DONE  TFHE_REGISTRY_r05.json: 23/23 green at cggi128
+#   stage 1  DONE  LEVELFLOOR_r05.log (after fixing the tool to pass
+#                  keys as jit args); SEI+KS epilogue lane closed
+#   stage 2  DONE  SWEEP_r05.log: 8738 gates/s best; mm/vpu/decompose
+#                  ablations SIGABRT permanently (PERF.md round 5)
+#   stage 3  DONE  SMALLG_r05{,b}.log (trimmed rows) -- found + fixed
+#                  the chains=1 pipe-schedule bug
+#   stage 4  DONE  via bench's diamond line: 1.475-1.477 s/cycle MATCH
+#                  (BENCH_r05_pre.log, BENCH_r05_rehearsal.log)
+#   stage 5  DONE  BENCH_r05_pre{,2}.log + BENCH_r05_rehearsal.log:
+#                  full record rc 0 in 19 min warm; key + XLA compile
+#                  caches populated in-container for the driver's run
